@@ -1,0 +1,114 @@
+"""Truncated SVD backends for TPU.
+
+The reference leans on cuSOLVER via ``torch.svd_lowrank`` (ref:
+modules/svd_linear.py:65). On TPU the two viable shapes are:
+
+- exact: ``jnp.linalg.svd`` then truncate — fine for small/medium layers,
+  O(mn*min(m,n)) on the scalar/vector units, slow for 4096x11008 MLPs;
+- randomized subspace iteration (Halko et al., the same algorithm family
+  as ``torch.svd_lowrank``): all the heavy work is GEMMs + thin QR, which
+  is exactly what the MXU wants. We run it in float32 (bf16 loses too much
+  for the downstream PPL parity target).
+
+Both return ``(U, S, Vh)`` with ``U: [m, k]``, ``S: [k]``, ``Vh: [k, n]``
+so that ``w ≈ U @ diag(S) @ Vh``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _exact_truncated_svd(w: jax.Array, rank: int):
+    u, s, vh = jnp.linalg.svd(w.astype(jnp.float32), full_matrices=False)
+    return u[:, :rank], s[:rank], vh[:rank, :]
+
+
+@functools.partial(jax.jit, static_argnames=("rank", "niter"))
+def randomized_svd(w: jax.Array, rank: int, *, key: jax.Array, niter: int = 8):
+    """Randomized truncated SVD via subspace (power) iteration.
+
+    Mirrors the structure of torch.svd_lowrank (sketch on the short side,
+    ``niter`` power iterations with QR re-orthogonalization, small exact SVD
+    of the projected matrix). We default to more iterations than torch's 2
+    plus oversampling because the factors feed a perplexity-parity target,
+    and the extra GEMMs are cheap on the MXU.
+    """
+    w = w.astype(jnp.float32)
+    m, n = w.shape
+    transposed = m < n
+    a = w.T if transposed else w  # a: [M, N] with M >= N
+    M, N = a.shape
+    # oversample for accuracy, clamp to the small dimension
+    q = min(rank + 8, N, M)
+
+    omega = jax.random.normal(key, (N, q), dtype=jnp.float32)
+    y = a @ omega                                  # [M, q]
+    qmat, _ = jnp.linalg.qr(y)
+    for _ in range(niter):
+        z = a.T @ qmat                             # [N, q]
+        zq, _ = jnp.linalg.qr(z)
+        y = a @ zq
+        qmat, _ = jnp.linalg.qr(y)
+    b = qmat.T @ a                                 # [q, N] — small
+    ub, s, vh = jnp.linalg.svd(b, full_matrices=False)
+    u = qmat @ ub                                  # [M, q]
+    u, s, vh = u[:, :rank], s[:rank], vh[:rank, :]
+    if transposed:
+        # w = a.T ≈ (U S Vh).T = Vh.T S U.T
+        return vh.T, s, u.T
+    return u, s, vh
+
+
+def truncated_svd(w: jax.Array, rank: int, *, backend: str = "auto",
+                  key: jax.Array | None = None, niter: int = 8):
+    """Dispatch between exact and randomized truncated SVD.
+
+    ``backend``: "exact" | "randomized" | "auto". Auto uses the exact path
+    when the matrix is small or the requested rank is a large fraction of
+    the spectrum (where subspace iteration loses accuracy and saves
+    nothing), and the randomized path for big MLP-shaped weights.
+    """
+    m, n = w.shape
+    rank = int(min(rank, m, n))
+    if backend == "auto":
+        small = (m * n <= 1024 * 1024) or (rank >= 0.25 * min(m, n))
+        backend = "exact" if small else "randomized"
+    if backend == "exact":
+        return _exact_truncated_svd(w, rank)
+    if backend == "randomized":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return randomized_svd(w, rank, key=key, niter=niter)
+    raise ValueError(f"unknown svd backend {backend!r}")
+
+
+def batched_truncated_svd(ws: jax.Array, rank: int, *, backend: str = "auto",
+                          key: jax.Array | None = None):
+    """SVD a stack of same-shaped weights ``[L, m, n]`` in one vmapped call.
+
+    This is what makes the sensitivity scan minutes instead of hours: the
+    reference factorizes layer-by-layer serially (ref sensitivity.py:43-59);
+    we bucket layers by shape and factorize each bucket in a single batched
+    device computation.
+    """
+    L = ws.shape[0]
+    if backend == "auto":
+        m, n = ws.shape[1:]
+        small = (m * n <= 1024 * 1024) or (rank >= 0.25 * min(m, n))
+        backend = "exact" if small else "randomized"
+    if backend == "exact":
+        return jax.vmap(lambda w: _exact_truncated_svd(w, rank))(ws)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, L)
+    return jax.vmap(lambda w, k: randomized_svd(w, rank, key=k))(ws, keys)
+
+
+def singular_values(w: jax.Array) -> jax.Array:
+    """All singular values (no U/V), for the stable-rank sensitivity proxy
+    (ref sensitivity.py:101)."""
+    return jnp.linalg.svd(w.astype(jnp.float32), compute_uv=False)
