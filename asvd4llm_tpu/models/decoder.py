@@ -1,0 +1,332 @@
+"""One functional decoder covering OPT / Llama / Gemma-2 families.
+
+Pure function of (params pytree, input_ids, spec): no module tree, no
+hooks, no in-place mutation. The three capabilities the reference gets
+from torch modules are reproduced functionally:
+
+- hook-based activation statistics (ref act_aware_utils.py:62-81) become
+  an optional stats output of the same forward (``forward_with_stats``);
+- nn.Linear swap-in/out (ref sensitivity.py:53,59) becomes functional
+  leaf substitution (registry.set_linear);
+- the body/head split used by the windowed PPL evaluator
+  (ref evaluate_utils.py:163-167) is ``forward_hidden`` + ``apply_lm_head``.
+
+Everything is jit-compatible with static shapes; the per-layer loop is a
+Python loop so heterogeneous (dense | low-rank) layer structures trace
+naturally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from asvd4llm_tpu.models.registry import (
+    is_lowrank, layer_linear_keys, linear_name,
+)
+from asvd4llm_tpu.ops.lowrank import dense_apply, lowrank_apply
+
+
+# ---------------------------------------------------------------- norms ---
+
+def rms_norm(x, w, eps, unit_offset=False):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    scale = (1.0 + w.astype(jnp.float32)) if unit_offset else w.astype(jnp.float32)
+    return (xf * scale).astype(x.dtype)
+
+
+def layer_norm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xf * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def apply_norm(spec, norm_params, x):
+    if spec.norm == "rmsnorm":
+        return rms_norm(x, norm_params["w"], spec.norm_eps,
+                        unit_offset=spec.rmsnorm_unit_offset)
+    return layer_norm(x, norm_params["w"], norm_params["b"], spec.norm_eps)
+
+
+# ----------------------------------------------------------------- rope ---
+
+def rope_cos_sin(positions, head_dim, theta, dtype=jnp.float32):
+    """positions: [S] int -> cos/sin [S, head_dim] (llama 'rotate half' layout)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [S, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x, cos, sin):
+    """x: [B, S, H, hd]; cos/sin: [S, hd]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return (x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s).astype(x.dtype)
+
+
+# -------------------------------------------------------------- linears ---
+
+def apply_linear(leaf, x, *, name=None, stats=None, collect=None,
+                 use_pallas=False):
+    """Apply a dense or low-rank linear leaf; optionally accumulate
+    calibration statistics of the INPUT (ref act_aware_utils.py:64-74)."""
+    if stats is not None and collect is not None and name is not None:
+        absx = jnp.abs(x.astype(jnp.float32))
+        flat = absx.reshape(-1, absx.shape[-1]) if absx.ndim == 2 else absx
+        if collect == "abs_mean":
+            # per-batch-entry mean over seq, summed over entries (ref :65-67)
+            contrib = flat.mean(axis=-2)
+            contrib = contrib.sum(axis=0) if contrib.ndim == 2 else contrib
+            prev = stats.get(name)
+            stats[name] = contrib if prev is None else prev + contrib
+        elif collect == "abs_max":
+            contrib = flat.max(axis=tuple(range(flat.ndim - 1)))
+            prev = stats.get(name)
+            stats[name] = contrib if prev is None else jnp.maximum(prev, contrib)
+        else:
+            raise ValueError(f"unknown stats method {collect!r}")
+    if is_lowrank(leaf):
+        return lowrank_apply(x, leaf["A"], leaf["B"], leaf["b"],
+                             use_pallas=use_pallas)
+    return dense_apply(x, leaf["w"], leaf["b"])
+
+
+def _activation(spec, x):
+    if spec.act == "silu":
+        return jax.nn.silu(x)
+    if spec.act == "relu":
+        return jax.nn.relu(x)
+    if spec.act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if spec.act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown activation {spec.act!r}")
+
+
+def _softcap(x, cap):
+    return cap * jnp.tanh(x / cap)
+
+
+# ------------------------------------------------------------ attention ---
+
+def _attention(spec, layer, x, layer_idx, cos, sin, mask, *, la, cache=None,
+               cache_pos=0):
+    """Multi-head attention with GQA, RoPE/none, optional logit softcap,
+    optional KV cache (dense K/V; the latent low-rank cache lives in
+    eval/generate.py). Returns (output, new_cache_entry)."""
+    B, S, _ = x.shape
+    H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+
+    q = la(layer["q_proj"], x).reshape(B, S, H, hd)
+    k = la(layer["k_proj"], x).reshape(B, S, KV, hd)
+    v = la(layer["v_proj"], x).reshape(B, S, KV, hd)
+
+    if spec.pos_emb == "rope":
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    new_entry = None
+    if cache is not None:
+        k_cache, v_cache = cache  # [B, T, KV, hd]
+        k = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype),
+                                         (0, cache_pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype),
+                                         (0, cache_pos, 0, 0))
+        new_entry = (k, v)
+
+    if H != KV:
+        rep = H // KV
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if spec.attn_logit_softcap > 0:
+        logits = _softcap(logits, spec.attn_logit_softcap)
+    logits = logits + mask  # mask: [1|B, 1, Sq, Sk], additive -inf
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(B, S, H * hd)
+    o_key = "o_proj" if "o_proj" in layer else "out_proj"
+    return la(layer[o_key], out), new_entry
+
+
+def _causal_mask(spec, layer_idx, q_pos, k_pos, pad_mask=None):
+    """Additive mask [1|B, 1, Sq, Sk]: causal, optional sliding window,
+    optional padding mask [B, Sk]."""
+    neg = jnp.float32(-1e30)
+    allow = k_pos[None, :] <= q_pos[:, None]
+    if spec.layer_uses_sliding(layer_idx):
+        allow &= k_pos[None, :] > (q_pos[:, None] - spec.sliding_window)
+    m = jnp.where(allow, 0.0, neg)[None, None, :, :]
+    if pad_mask is not None:
+        pm = jnp.where(pad_mask.astype(bool), 0.0, neg)[:, None, None, :]
+        m = m + pm
+    return m
+
+
+# ------------------------------------------------------------- layers ----
+
+def _decoder_layer(spec, layer, x, layer_idx, cos, sin, mask, *, la,
+                   cache=None, cache_pos=0):
+    if spec.family == "opt":
+        return _opt_layer(spec, layer, x, layer_idx, cos, sin, mask, la=la,
+                          cache=cache, cache_pos=cache_pos)
+
+    residual = x
+    h = apply_norm(spec, layer["ln1"], x)
+    attn_out, new_entry = _attention(spec, layer, h, layer_idx, cos, sin,
+                                     mask, la=la, cache=cache,
+                                     cache_pos=cache_pos)
+    if spec.post_attn_out_norm:  # gemma2
+        attn_out = apply_norm(spec, layer["ln1_post"], attn_out)
+    x = residual + attn_out
+
+    residual = x
+    h = apply_norm(spec, layer["ln2"], x)
+    if spec.mlp == "gated":
+        gate = _activation(spec, la(layer["gate_proj"], h))
+        up = la(layer["up_proj"], h)
+        mlp_out = la(layer["down_proj"], gate * up)
+    else:
+        mlp_out = la(layer["fc2"], _activation(spec, la(layer["fc1"], h)))
+    if spec.post_mlp_out_norm:  # gemma2
+        mlp_out = apply_norm(spec, layer["ln2_post"], mlp_out)
+    return residual + mlp_out, new_entry
+
+
+def _opt_layer(spec, layer, x, layer_idx, cos, sin, mask, *, la,
+               cache=None, cache_pos=0):
+    """OPT decoder layer (pre-norm when do_layer_norm_before, else post)."""
+    residual = x
+    h = apply_norm(spec, layer["ln1"], x) if spec.do_layer_norm_before else x
+    attn_out, new_entry = _attention(spec, layer, h, layer_idx, cos, sin,
+                                     mask, la=la, cache=cache,
+                                     cache_pos=cache_pos)
+    x = residual + attn_out
+    if not spec.do_layer_norm_before:
+        x = apply_norm(spec, layer["ln1"], x)
+
+    residual = x
+    h = apply_norm(spec, layer["ln2"], x) if spec.do_layer_norm_before else x
+    h = la(layer["fc2"], _activation(spec, la(layer["fc1"], h)))
+    x = residual + h
+    if not spec.do_layer_norm_before:
+        x = apply_norm(spec, layer["ln2"], x)
+    return x, new_entry
+
+
+# ------------------------------------------------------------- forward ---
+
+def forward_hidden(params, input_ids, spec, *, positions=None, pad_mask=None,
+                   stats=None, collect=None, use_pallas=False, caches=None,
+                   cache_pos=0):
+    """Embeddings + all decoder layers + final norm -> hidden states
+    [B, S, hidden]. (= reference's ``lm.model.model(batch)``,
+    evaluate_utils.py:163.)
+
+    caches: optional list of per-layer (k_cache, v_cache) for decode;
+    returns (hidden, new_caches).
+    """
+    B, S = input_ids.shape
+    emb = params["embed_tokens"]
+    x = emb[input_ids]
+    if spec.embed_scale != 1.0:
+        # gemma casts the normalizer to the embedding dtype first
+        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+
+    if positions is None:
+        positions = jnp.arange(S, dtype=jnp.int32) + cache_pos
+    if spec.pos_emb == "learned":
+        x = x + params["embed_positions"][positions + spec.pos_offset]
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
+
+    kv_len = caches[0][0].shape[1] if caches is not None else S
+    k_pos = jnp.arange(kv_len, dtype=jnp.int32)
+
+    new_caches = [] if caches is not None else None
+    for i, layer in enumerate(params["layers"]):
+        mask = _causal_mask(spec, i, positions, k_pos, pad_mask)
+        # bind per-linear names for stats collection
+        x, entry = _layer_with_names(spec, layer, x, i, cos, sin, mask,
+                                     stats=stats, collect=collect,
+                                     use_pallas=use_pallas,
+                                     cache=None if caches is None else caches[i],
+                                     cache_pos=cache_pos)
+        if new_caches is not None:
+            new_caches.append(entry)
+
+    if spec.final_norm and params.get("final_norm") is not None:
+        x = apply_norm(spec, params["final_norm"], x)
+    return x, new_caches
+
+
+def _layer_with_names(spec, layer, x, layer_idx, cos, sin, mask, *, stats,
+                      collect, use_pallas, cache, cache_pos):
+    def la(leaf, h):
+        # find this leaf's key for the stats name
+        name = None
+        if stats is not None and collect is not None:
+            for k in layer_linear_keys(spec):
+                if layer[k] is leaf:
+                    name = linear_name(spec, layer_idx, k)
+                    break
+        return apply_linear(leaf, h, name=name, stats=stats, collect=collect,
+                            use_pallas=use_pallas)
+    return _decoder_layer(spec, layer, x, layer_idx, cos, sin, mask, la=la,
+                          cache=cache, cache_pos=cache_pos)
+
+
+def apply_lm_head(params, spec, hidden):
+    """hidden [B, S, H] -> logits [B, S, V] float32
+    (= reference's ``lm.model.lm_head(hidden)``, evaluate_utils.py:167)."""
+    if spec.tie_word_embeddings or params.get("lm_head") is None:
+        w = params["embed_tokens"]
+        logits = jax.lax.dot_general(
+            hidden, w, (((hidden.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        logits = dense_apply(hidden, params["lm_head"]["w"],
+                             params["lm_head"].get("b")).astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if spec.final_logit_softcap > 0:
+        logits = _softcap(logits, spec.final_logit_softcap)
+    return logits
+
+
+def forward(params, input_ids, spec, *, positions=None, pad_mask=None,
+            use_pallas=False, caches=None, cache_pos=0):
+    """Full forward -> logits [B, S, vocab] float32."""
+    hidden, new_caches = forward_hidden(
+        params, input_ids, spec, positions=positions, pad_mask=pad_mask,
+        use_pallas=use_pallas, caches=caches, cache_pos=cache_pos)
+    logits = apply_lm_head(params, spec, hidden)
+    if caches is not None:
+        return logits, new_caches
+    return logits
+
+
+def forward_with_stats(params, input_ids, spec, *, collect="abs_mean",
+                       pad_mask=None):
+    """Forward that also returns per-linear input statistics
+    {full_name: [in_features]} — the functional replacement for the
+    reference's forward hooks (ref act_aware_utils.py:62-81)."""
+    stats: dict = {}
+    hidden, _ = forward_hidden(params, input_ids, spec, pad_mask=pad_mask,
+                               stats=stats, collect=collect)
+    logits = apply_lm_head(params, spec, hidden)
+    return logits, stats

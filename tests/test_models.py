@@ -1,0 +1,172 @@
+"""Logit-parity tests: our functional decoder vs torch transformers.
+
+Tiny randomly-initialized HF models are the oracle (constructed offline —
+no downloads). Comparisons in float32; parity tolerance is tight because
+both sides are the same math."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from asvd4llm_tpu.models import (  # noqa: E402
+    forward, forward_with_stats, params_from_torch_model,
+    iter_linears, set_linear, get_linear, linear_names,
+)
+from asvd4llm_tpu.models.registry import (  # noqa: E402
+    dense_leaf, lowrank_leaf, count_linear_params, leaf_shape,
+)
+
+
+def tiny_llama():
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    return transformers.LlamaForCausalLM(cfg).eval()
+
+
+def tiny_opt():
+    cfg = transformers.OPTConfig(
+        vocab_size=256, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=True, word_embed_proj_dim=64,
+        activation_function="relu",
+    )
+    torch.manual_seed(1)
+    return transformers.OPTForCausalLM(cfg).eval()
+
+
+def tiny_gemma2():
+    cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        sliding_window=8, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, query_pre_attn_scalar=16,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(2)
+    return transformers.Gemma2ForCausalLM(cfg).eval()
+
+
+def _parity(model, seqlen=24, atol=2e-4):
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 256, size=(2, seqlen))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.float().numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=atol, rtol=1e-3)
+    return params, spec
+
+
+def test_llama_parity():
+    _parity(tiny_llama())
+
+
+def test_opt_parity():
+    _parity(tiny_opt())
+
+
+def test_gemma2_parity():
+    # covers sliding window (seqlen > window), softcaps, post-norms, GQA
+    _parity(tiny_gemma2(), seqlen=32, atol=5e-4)
+
+
+def test_registry_roundtrip():
+    model = tiny_llama()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    names = linear_names(params, spec)
+    assert "model.layers.0.self_attn.q_proj" in names
+    assert "model.layers.1.mlp.down_proj" in names
+    assert len(names) == 2 * 7
+
+    # functional substitution does not alias
+    leaf = get_linear(params, spec, "model.layers.0.self_attn.q_proj")
+    out, inn = leaf_shape(leaf)
+    new = lowrank_leaf(jnp.zeros((out, 4)), jnp.zeros((4, inn)), leaf["b"])
+    p2 = set_linear(params, spec, "model.layers.0.self_attn.q_proj", new)
+    assert get_linear(p2, spec, "model.layers.0.self_attn.q_proj")["A"].shape == (out, 4)
+    assert "w" in get_linear(params, spec, "model.layers.0.self_attn.q_proj")
+    assert count_linear_params(p2, spec) < count_linear_params(params, spec)
+
+
+def test_lowrank_substitution_forward_matches_recomposed_dense():
+    """A low-rank leaf and a dense leaf with w = A@B must produce identical
+    forwards (up to fp assoc) — validates the sensitivity scan's
+    recomposition trick."""
+    model = tiny_llama()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    name = "model.layers.0.mlp.gate_proj"
+    leaf = get_linear(params, spec, name)
+    out, inn = leaf_shape(leaf)
+    rank = 16
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (out, rank)) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(1), (rank, inn)) * 0.05
+
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 256, size=(1, 16)))
+    p_lr = set_linear(params, spec, name, lowrank_leaf(a, b, None))
+    p_dense = set_linear(params, spec, name, dense_leaf(a @ b, None))
+    np.testing.assert_allclose(np.asarray(forward(p_lr, ids, spec)),
+                               np.asarray(forward(p_dense, ids, spec)),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_stats_collection_matches_torch_hooks():
+    """abs_mean / abs_max stats must match the reference's hook math
+    (ref act_aware_utils.py:62-81) measured with real torch hooks."""
+    model = tiny_llama()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    batches = [rng.randint(0, 256, size=(1, 12)) for _ in range(3)]
+
+    # torch side: replicate reference hooks
+    import torch.nn as nn
+    stats_t = {}
+    hooks = []
+
+    def make_hook(name):
+        def hook(module, inputs, output):
+            x = inputs[0].abs()
+            am = x.mean(dim=-2).view(-1)
+            stats_t[name] = stats_t.get(name, 0) + am.detach()
+        return hook
+
+    for name, mod in model.named_modules():
+        if isinstance(mod, nn.Linear) and name != "lm_head":
+            hooks.append(mod.register_forward_hook(make_hook(name)))
+    with torch.no_grad():
+        for b in batches:
+            model(torch.from_numpy(b))
+    for h in hooks:
+        h.remove()
+
+    # ours: one stats-collecting forward per batch, accumulated
+    stats_j: dict = {}
+    for b in batches:
+        _, s = forward_with_stats(params, jnp.asarray(b), spec, collect="abs_mean")
+        for k, v in s.items():
+            stats_j[k] = stats_j.get(k, 0) + v
+
+    assert set(stats_j) == set(stats_t)
+    for k in stats_t:
+        np.testing.assert_allclose(np.asarray(stats_j[k]), stats_t[k].numpy(),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_abs_max_stats():
+    model = tiny_llama()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.RandomState(5).randint(0, 256, size=(2, 8)))
+    _, s = forward_with_stats(params, ids, spec, collect="abs_max")
+    assert all(v.shape == (leaf_shape(get_linear(params, spec, k))[1],)
+               for k, v in s.items())
+    assert all(bool((v >= 0).all()) for v in s.items().__iter__().__next__()[1:])
