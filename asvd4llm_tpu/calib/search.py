@@ -1,0 +1,170 @@
+"""Binary-search rank allocation (ref binary_search.py:10-131).
+
+Algorithm parity, step by step:
+- flatten the sensitivity dict to (layer, ratio, ppl) triples, dropping
+  ratio >= 1 entries in weight mode (ref :42-48);
+- sort by ppl DESCENDING (ref :49);
+- binary-search a cut index `mid`: the trial config assigns each layer the
+  MINIMUM ratio among its entries in sorted_list[mid:], default ratio 1
+  (weights) or 2 (KV mode; a rank-r factor pair holds 2r·d params so the
+  rank ratio is param_ratio/2, ref :29-36,94-96);
+- feasibility: param-ratio mode compares the arithmetic total ratio
+  (KV mode: /2) against the target (ref :88-102); ppl-target mode
+  decomposes all selected layers and evaluates calibration PPL
+  (ref :64-87);
+- final pass decomposes every layer whose assigned ratio != default
+  (ref :104-131), here into true two-factor low-rank leaves.
+
+The search itself is cheap host bookkeeping; all device work goes through
+the jitted factorizer and the jitted PPL evaluator. In ppl-target mode the
+trial decompositions use the same recomposition trick as the sensitivity
+scan so the evaluator never recompiles.
+
+Returns (new_params, manifest) where manifest = {layer_name: rank} — the
+moral equivalent of the reference's ``truncation_ranks`` config entry
+(ref build_asvd_repo.py:65-69).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import numpy as np
+
+from asvd4llm_tpu.eval.ppl import evaluate_perplexity
+from asvd4llm_tpu.models.registry import (
+    get_linear, iter_linears, leaf_shape, lowrank_leaf, set_linear,
+)
+from asvd4llm_tpu.ops.asvd import factorize_linear, rank_for_param_ratio
+from asvd4llm_tpu.calib.sensitivity import _recomposed_dense
+
+log = logging.getLogger(__name__)
+
+
+def _layer_scale_args(name, stats, fisher, cfg):
+    if not cfg.act_aware:
+        return {}
+    return dict(
+        act_aware=True,
+        scaling_diag=None if stats is None else stats.get(name),
+        fisher_info=None if fisher is None else fisher.get(name),
+        alpha=cfg.alpha,
+    )
+
+
+def binary_search_truncation_rank(params, spec, sensitivity_dict,
+                                  calib_loader, cfg, *, stats=None,
+                                  fisher=None):
+    """Returns (compressed_params, manifest {name: rank})."""
+    if cfg.compress_kv_cache:
+        ratio_target = cfg.kv_cache_ratio_target
+        sensitivity_dict = {k: v for k, v in sensitivity_dict.items()
+                            if "k_proj" in k or "v_proj" in k}
+        assert cfg.ppl_target < 0, \
+            "ppl_target is not supported when compressing kv_cache"
+        default_param_ratio = 2
+    else:
+        ratio_target = cfg.param_ratio_target
+        default_param_ratio = 1
+
+    log.info("=== %s target: ppl=%s, ratio_target=%s ===",
+             "compress kv_cache" if cfg.compress_kv_cache else "compress weight",
+             cfg.ppl_target, ratio_target)
+
+    sensitivity_list = []
+    for layername, v in sensitivity_dict.items():
+        for param_ratio, ppl in v.items():
+            if not cfg.compress_kv_cache and param_ratio >= 1:
+                continue  # ref :45-47
+            sensitivity_list.append((layername, param_ratio, ppl))
+    sorted_list = sorted(sensitivity_list, key=lambda x: -x[2])
+
+    assert cfg.ppl_target > 0 or ratio_target > 0, (
+        "set one of --ppl_target / --param_ratio_target / "
+        "--kv_cache_ratio_target (ref binary_search.py:54)")
+
+    shapes = {name: leaf_shape(leaf) for name, leaf in iter_linears(params, spec)}
+    numels = {name: s[0] * s[1] for name, s in shapes.items()}
+    input_ids = None
+    if cfg.ppl_target > 0:
+        input_ids = np.concatenate(
+            [np.asarray(b["input_ids"]) for b in calib_loader], axis=0)
+
+    def config_at(mid):
+        ratios = {name: default_param_ratio for name in sensitivity_dict}
+        for layername, r, _ in sorted_list[mid:]:
+            ratios[layername] = min(ratios[layername], r)
+        return ratios
+
+    low, high = 0, len(sorted_list) - 1
+    mid = (low + high) // 2
+    key = jax.random.PRNGKey(cfg.seed)
+    while low < high:
+        mid = (low + high) // 2
+        ratios = config_at(mid)
+        tot = sum(numels[n] for n in ratios)
+        comp = sum(numels[n] * r for n, r in ratios.items())
+        if cfg.ppl_target > 0:
+            trial = params
+            for name, r in ratios.items():
+                leaf = get_linear(params, spec, name)
+                from asvd4llm_tpu.ops.asvd import build_scaling_vector
+                scale = build_scaling_vector(
+                    None if stats is None or not cfg.act_aware else stats.get(name),
+                    None if fisher is None or not cfg.act_aware else fisher.get(name),
+                    cfg.alpha) if cfg.act_aware else None
+                key, sub = jax.random.split(key)
+                new_leaf = _recomposed_dense(leaf["w"], leaf["b"], r, scale,
+                                             cfg.alpha, cfg.rank_align,
+                                             cfg.svd_backend, sub)
+                if new_leaf is not None:
+                    trial = set_linear(trial, spec, name, new_leaf)
+            ppl = evaluate_perplexity(trial, spec, input_ids,
+                                      cfg.n_calib_samples)
+            log.info("low=%d mid=%d high=%d ppl=%.4f param_ratio=%.4f",
+                     low, mid, high, ppl, comp / tot)
+            if ppl < cfg.ppl_target:
+                high = mid
+            else:
+                low = mid + 1
+        else:
+            now_ratio = comp / tot
+            if cfg.compress_kv_cache:
+                now_ratio /= 2  # ref :94-96
+            log.info("low=%d mid=%d high=%d now_ratio=%.4f params=(%d/%d)",
+                     low, mid, high, now_ratio, comp, tot)
+            if now_ratio > ratio_target:
+                high = mid
+            else:
+                low = mid + 1
+
+    # final decomposition at the last computed mid (ref :104-131 reuses
+    # `mid` from the loop, parity quirk kept)
+    log.info("=== Searching done, decomposing layers... ===")
+    ratios = config_at(mid)
+    t0 = time.time()
+    manifest: dict = {}
+    out = params
+    for name, r in ratios.items():
+        if r == default_param_ratio:
+            continue
+        leaf = get_linear(params, spec, name)
+        key, sub = jax.random.split(key)
+        f = factorize_linear(
+            leaf["w"], leaf["b"], r,
+            sigma_fuse=cfg.sigma_fuse, rank_align=cfg.rank_align,
+            backend=cfg.svd_backend, key=sub,
+            **_layer_scale_args(name, stats, fisher, cfg))
+        if f is None:
+            log.warning("factorization unusable for %s at ratio %s; "
+                        "keeping dense layer", name, r)
+            continue
+        out = set_linear(out, spec, name, lowrank_leaf(f.A, f.B, f.bias))
+        manifest[name] = f.rank
+        # sanity parity check against the reference rank formula
+        o, i = shapes[name]
+        assert f.rank == min(rank_for_param_ratio(i, o, r, cfg.rank_align), i, o)
+    log.info("decompose time: %.2fs (%d layers)", time.time() - t0, len(manifest))
+    return out, manifest

@@ -1,0 +1,144 @@
+"""Per-layer sensitivity scanning.
+
+Reference behavior (ref sensitivity.py:10-61): for every linear layer and
+every candidate ratio ([0.4..0.9] for weights, [0.1..1.9] for KV mode),
+factorize THAT ONE layer (always act-aware, regardless of --act_aware —
+ref :50, quirk kept for parity), measure calibration-set perplexity, and
+restore. Result: {layer_full_name: {ratio: ppl}}.
+
+TPU-native re-design of the hot loop:
+
+1. **Recomposition trick**: instead of swapping a two-factor layer in (a
+   different pytree structure per point → recompile storm), we substitute
+   a same-shaped DENSE leaf with w = A @ B. Numerically identical output,
+   and the jitted evaluator compiles exactly once for the whole scan.
+2. **Shape-bucketed batched SVD**: all layers sharing a weight shape are
+   factorized per-ratio in one vmapped device call (ops/svd.py), instead
+   of L·R serial SVDs.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asvd4llm_tpu.eval.ppl import evaluate_perplexity
+from asvd4llm_tpu.models.registry import (
+    dense_leaf, get_linear, iter_linears, leaf_shape, set_linear,
+)
+from asvd4llm_tpu.ops.asvd import (
+    build_scaling_vector, factorize_weight, rank_for_param_ratio,
+)
+from asvd4llm_tpu.ops.svd import singular_values
+
+log = logging.getLogger(__name__)
+
+WEIGHT_RATIO_GRID = [0.4, 0.5, 0.6, 0.7, 0.8, 0.9]          # ref :39
+KV_RATIO_GRID = [0.1 * i for i in range(1, 20)]               # ref :37
+STABLE_RANK_GRID = [0.1 * i for i in range(1, 10)]            # ref :90
+
+
+def _recomposed_dense(w, bias, ratio, scale, alpha, rank_align, svd_backend,
+                      key):
+    """Factorize and immediately recompose to a dense same-shape leaf."""
+    out_f, in_f = w.shape
+    rank = rank_for_param_ratio(in_f, out_f, ratio, rank_align)
+    if rank <= 0:
+        return None
+    rank = min(rank, in_f, out_f)
+    a, b = factorize_weight(w, rank, scale=scale, sigma_fuse="UV",
+                            backend=svd_backend, key=key)
+    w_hat = (a @ b).astype(w.dtype)
+    if not bool(jnp.isfinite(w_hat).all()):
+        return None
+    return dense_leaf(w_hat, bias)
+
+
+def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
+                          fisher=None, cache=None) -> dict:
+    """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
+    (ref sensitivity.py:10-61). Always act-aware (ref :50)."""
+    if cache is not None:
+        hit = cache.load_sensitivity(cfg.sensitivity_key())
+        if hit is not None:
+            log.info("sensitivity cache hit (%s)", cfg.sensitivity_key())
+            return hit
+
+    grid = KV_RATIO_GRID if cfg.compress_kv_cache else WEIGHT_RATIO_GRID
+    input_ids = np.concatenate(
+        [np.asarray(b["input_ids"]) for b in calib_loader], axis=0)
+
+    sensitivity: dict = {}
+    names = [name for name, _ in iter_linears(params, spec)]
+    t0 = time.time()
+    n_pts = 0
+    key = jax.random.PRNGKey(cfg.seed)
+    for name in names:
+        leaf = get_linear(params, spec, name)
+        if "A" in leaf:
+            continue  # already low-rank; reference scans raw models only
+        scale = build_scaling_vector(
+            None if stats is None else stats.get(name),
+            None if fisher is None else fisher.get(name),
+            cfg.alpha)
+        sensitivity[name] = {}
+        for ratio in grid:
+            key, sub = jax.random.split(key)
+            new_leaf = _recomposed_dense(
+                leaf["w"], leaf["b"], ratio, scale, cfg.alpha,
+                cfg.rank_align, cfg.svd_backend, sub)
+            if new_leaf is None:
+                # rank 0 / non-finite: infinitely sensitive at this ratio
+                sensitivity[name][ratio] = float("inf")
+                continue
+            trial = set_linear(params, spec, name, new_leaf)
+            ppl = evaluate_perplexity(trial, spec, input_ids,
+                                      cfg.n_calib_samples)
+            sensitivity[name][ratio] = ppl
+            n_pts += 1
+            log.debug("%s %.2f %.4f", name, ratio, ppl)
+        log.info("sensitivity %s done (%d pts, %.1fs elapsed)",
+                 name, n_pts, time.time() - t0)
+
+    if cache is not None:
+        cache.save_json("sensitivity", cfg.sensitivity_key(), sensitivity)
+    return sensitivity
+
+
+def calib_sensitivity_stable_rank(params, spec, calib_loader, cfg,
+                                  cache=None) -> dict:
+    """Forward-free proxy (ref sensitivity.py:64-110): per layer,
+    sr = (||W||_F^2 / sigma_max^2)^0.5, score[ratio] = -sr * ratio**0.1.
+
+    TPU-native: singular values of all same-shaped weights in one vmapped
+    SVD batch."""
+    key_name = "sensitivity_stable_rank"
+    if cache is not None:
+        raw = cache.load_json(key_name, cfg.sensitivity_key())
+        if raw is not None:
+            return {n: {float(r): p for r, p in d.items()} for n, d in raw.items()}
+
+    buckets: dict = defaultdict(list)
+    for name, leaf in iter_linears(params, spec):
+        if "A" in leaf:
+            continue
+        buckets[leaf_shape(leaf)].append((name, leaf["w"]))
+
+    sensitivity: dict = {}
+    for shape, items in buckets.items():
+        ws = jnp.stack([w for _, w in items]).astype(jnp.float32)
+        svs = jax.vmap(singular_values)(ws)                  # [L, min(m,n)]
+        fro2 = jnp.sum(ws * ws, axis=(1, 2))
+        sr = jnp.sqrt(fro2 / (svs[:, 0] ** 2))
+        for (name, _), sr_i in zip(items, np.asarray(sr)):
+            sensitivity[name] = {r: float(-sr_i * r ** 0.1)
+                                 for r in STABLE_RANK_GRID}
+
+    if cache is not None:
+        cache.save_json(key_name, cfg.sensitivity_key(), sensitivity)
+    return sensitivity

@@ -1,0 +1,73 @@
+"""Activation-statistics calibration (abs_mean / abs_max).
+
+Functional replacement for the reference's forward hooks
+(ref act_aware_utils.py:47-95): one jitted stats-collecting forward per
+calibration sample length; statistics are returned as an explicit pytree
+and accumulated on device. Accumulation semantics match the hooks exactly:
+
+- abs_mean: sum over calibration samples of the per-sample mean over the
+  sequence axis of |input| (ref :65-67; NOT divided by n),
+- abs_max: running elementwise max over samples and positions (ref :68-74).
+
+With a data-parallel mesh the batches shard over the `dp` axis and the sum
+/ max reductions ride a psum/pmax — see parallel/.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asvd4llm_tpu.models.decoder import forward_with_stats
+
+log = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "method"))
+def _stats_forward(params, ids, spec, method):
+    _, stats = forward_with_stats(params, ids, spec, collect=method)
+    return stats
+
+
+def calib_input_distribution(params, spec, calib_loader, method: str,
+                             cache=None, cache_key: str = "") -> dict:
+    """Run calibration forwards and return {linear_name: [in_features]}.
+
+    calib_loader: list of {"input_ids": [1, L]} dicts (reference loader
+    contract). Samples are bucketed by length so each unique shape compiles
+    once. `method` may be "abs_mean", "abs_max", or the reference's
+    composite strings (substring match, ref act_aware_utils.py:65-69).
+    """
+    if "abs_mean" in method:
+        mode = "abs_mean"
+    elif "abs_max" in method:
+        mode = "abs_max"
+    else:
+        raise ValueError(f"unknown scaling method {method!r}")
+
+    if cache is not None:
+        hit = cache.load_arrays(f"calib_{mode}", cache_key)
+        if hit is not None:
+            log.info("calibration stats cache hit (%s)", cache_key)
+            return {k: jnp.asarray(v) for k, v in hit.items()}
+
+    acc: dict = {}
+    for batch in calib_loader:
+        ids = jnp.asarray(np.asarray(batch["input_ids"]))
+        stats = _stats_forward(params, ids, spec, mode)
+        for k, v in stats.items():
+            if k not in acc:
+                acc[k] = v
+            elif mode == "abs_mean":
+                acc[k] = acc[k] + v
+            else:
+                acc[k] = jnp.maximum(acc[k], v)
+
+    if cache is not None:
+        cache.save_arrays(f"calib_{mode}", cache_key,
+                          {k: np.asarray(v) for k, v in acc.items()})
+    return acc

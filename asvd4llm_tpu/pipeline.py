@@ -1,0 +1,131 @@
+"""End-to-end compression pipeline (ref asvd.py:14-78).
+
+Sequence parity: load -> calib data -> [fisher] -> [abs stats] ->
+sensitivity -> binary search -> [quantize] -> evaluate -> append results.
+Everything below the orchestration is jitted device work; this file is
+host-side glue and stays boring on purpose.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from asvd4llm_tpu.calib.fisher import calib_fisher_info
+from asvd4llm_tpu.calib.search import binary_search_truncation_rank
+from asvd4llm_tpu.calib.sensitivity import (
+    calib_sensitivity_ppl, calib_sensitivity_stable_rank,
+)
+from asvd4llm_tpu.calib.stats import calib_input_distribution
+from asvd4llm_tpu.config import ASVDConfig
+from asvd4llm_tpu.data.datasets import get_calib_data, get_eval_tokens
+from asvd4llm_tpu.eval.ppl import evaluate_ppl_windowed
+from asvd4llm_tpu.utils.cache import ArtifactCache
+
+log = logging.getLogger(__name__)
+
+
+def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
+             vocab_size=None, allow_synthetic_fallback=False):
+    """Run calibration + sensitivity + search; returns
+    (compressed_params, manifest, artifacts dict)."""
+    cache = ArtifactCache(cfg.cache_dir, enabled=cfg.use_cache)
+    calib_loader = get_calib_data(
+        cfg.calib_dataset, tokenizer, cfg.model_id, cfg.n_calib_samples,
+        seqlen=cfg.seqlen, seed=cfg.seed, use_bos=cfg.use_bos,
+        cache_dir=cfg.cache_dir, use_cache=cfg.use_cache,
+        vocab_size=vocab_size or spec.vocab_size,
+        allow_synthetic_fallback=allow_synthetic_fallback)
+
+    fisher = None
+    stats = None
+    if "fisher" in cfg.scaling_method:
+        fisher = calib_fisher_info(params, spec, calib_loader, cache=cache,
+                                   cache_key=cfg.calib_key())
+    if "abs" in cfg.scaling_method:
+        stats = calib_input_distribution(params, spec, calib_loader,
+                                         cfg.scaling_method, cache=cache,
+                                         cache_key=cfg.calib_key())
+
+    if cfg.sensitivity_metric == "ppl":
+        sensitivity = calib_sensitivity_ppl(params, spec, calib_loader, cfg,
+                                            stats=stats, fisher=fisher,
+                                            cache=cache)
+    else:
+        sensitivity = calib_sensitivity_stable_rank(params, spec,
+                                                    calib_loader, cfg,
+                                                    cache=cache)
+
+    compressed, manifest = binary_search_truncation_rank(
+        params, spec, sensitivity, calib_loader, cfg,
+        stats=stats, fisher=fisher)
+
+    if cfg.weight_quant != "none":
+        from asvd4llm_tpu.ops.quant_apply import quantize_model_weights
+        compressed = quantize_model_weights(compressed, spec, cfg.weight_quant)
+
+    artifacts = {"stats": stats, "fisher": fisher, "sensitivity": sensitivity,
+                 "calib_loader": calib_loader}
+    return compressed, manifest, artifacts
+
+
+def evaluate(params, spec, tokenizer, cfg: ASVDConfig, *,
+             allow_synthetic_fallback=False) -> dict:
+    """PPL on cfg.eval_ppl datasets (+ tasks via eval/harness)."""
+    results: dict = {}
+    if cfg.eval_ppl:
+        for ds in cfg.eval_ppl.split(","):
+            toks = get_eval_tokens(ds, tokenizer, cache_dir=cfg.cache_dir,
+                                   use_cache=cfg.use_cache,
+                                   vocab_size=spec.vocab_size,
+                                   allow_synthetic_fallback=allow_synthetic_fallback)
+            bos_id = getattr(tokenizer, "bos_token_id", 0) or 0
+            ppl = evaluate_ppl_windowed(params, spec, toks, seqlen=cfg.seqlen,
+                                        use_bos=cfg.use_bos,
+                                        bos_token_id=bos_id)
+            log.info("%s ppl: %.4f", ds, ppl)
+            results[ds] = ppl
+    tasks = "mmlu" if cfg.eval_mmlu else cfg.eval_tasks
+    if tasks:
+        from asvd4llm_tpu.eval.harness import evaluate_tasks
+        results.update(evaluate_tasks(params, spec, tokenizer, tasks, cfg))
+    return results
+
+
+def write_results(cfg: ASVDConfig, results: dict, manifest=None):
+    """Append to output/result.txt (reference format, ref asvd.py:71-75)
+    plus a structured JSONL record."""
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    with open(os.path.join(cfg.output_dir, "result.txt"), "a+") as f:
+        f.write(f"{cfg.to_dict()}\n")
+        f.write(f"{results}\n")
+    with open(os.path.join(cfg.output_dir, "results.jsonl"), "a+") as f:
+        rec = {"time": time.time(), "config": cfg.to_dict(),
+               "results": results}
+        if manifest is not None:
+            rec["n_compressed_layers"] = len(manifest)
+        f.write(json.dumps(rec) + "\n")
+
+
+def run(cfg: ASVDConfig, *, allow_synthetic_fallback=False) -> dict:
+    """Full pipeline from a model id / local checkpoint path."""
+    np.random.seed(cfg.seed)
+    from asvd4llm_tpu.models.loader import load_model
+    params, spec, tokenizer = load_model(cfg.model_id, dtype=cfg.eval_dtype)
+
+    manifest = None
+    if not cfg.raw_model:
+        params, manifest, _ = compress(
+            params, spec, tokenizer, cfg,
+            allow_synthetic_fallback=allow_synthetic_fallback)
+
+    results = evaluate(params, spec, tokenizer, cfg,
+                       allow_synthetic_fallback=allow_synthetic_fallback)
+    log.info("results: %s", results)
+    write_results(cfg, results, manifest)
+    return results

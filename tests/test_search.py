@@ -1,0 +1,179 @@
+"""Sensitivity scan + binary-search rank allocation tests.
+
+Includes a pure-bookkeeping parity test of the search cut selection against
+a literal numpy re-derivation of ref binary_search.py:42-110, and an
+end-to-end tiny-model pipeline."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from asvd4llm_tpu.calib.search import binary_search_truncation_rank  # noqa: E402
+from asvd4llm_tpu.calib.sensitivity import (  # noqa: E402
+    calib_sensitivity_ppl, calib_sensitivity_stable_rank,
+)
+from asvd4llm_tpu.calib.stats import calib_input_distribution  # noqa: E402
+from asvd4llm_tpu.config import ASVDConfig  # noqa: E402
+from asvd4llm_tpu.eval.ppl import evaluate_perplexity  # noqa: E402
+from asvd4llm_tpu.models import params_from_torch_model  # noqa: E402
+from asvd4llm_tpu.models.registry import (  # noqa: E402
+    count_linear_params, is_lowrank, iter_linears, get_linear,
+)
+from asvd4llm_tpu.ops.asvd import rank_for_param_ratio  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=128)
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    return params, spec
+
+
+def _loader(n, vocab=128, L=32, seed=0):
+    rng = np.random.RandomState(seed)
+    return [{"input_ids": rng.randint(0, vocab, size=(1, L))} for _ in range(n)]
+
+
+def ref_cut_config(sensitivity_dict, numels, ratio_target, kv=False):
+    """Literal re-derivation of the reference's param-ratio binary search
+    (ref binary_search.py:42-110) returning the final per-layer ratios."""
+    default = 2 if kv else 1
+    slist = []
+    for layername, v in sensitivity_dict.items():
+        for r, ppl in v.items():
+            if not kv and r >= 1:
+                continue
+            slist.append((layername, r, ppl))
+    slist = sorted(slist, key=lambda x: -x[2])
+    low, high = 0, len(slist) - 1
+    mid = (low + high) // 2
+    while low < high:
+        mid = (low + high) // 2
+        ratios = {n: default for n in sensitivity_dict}
+        for n, r, _ in slist[mid:]:
+            ratios[n] = min(ratios[n], r)
+        tot = sum(numels[n] for n in ratios)
+        comp = sum(numels[n] * r for n, r in ratios.items())
+        now = comp / tot / (2 if kv else 1)
+        if now > ratio_target:
+            high = mid
+        else:
+            low = mid + 1
+    ratios = {n: default for n in sensitivity_dict}
+    for n, r, _ in slist[mid:]:
+        ratios[n] = min(ratios[n], r)
+    return ratios
+
+
+def test_param_ratio_search_matches_reference_bookkeeping(tiny):
+    params, spec = tiny
+    rng = np.random.RandomState(7)
+    names = [n for n, _ in iter_linears(params, spec)]
+    sensitivity = {n: {r: float(rng.uniform(10, 100) * (1.05 - r))
+                       for r in [0.4, 0.5, 0.6, 0.7, 0.8, 0.9]}
+                   for n in names}
+    numels = {n: int(np.prod(l["w"].shape)) for n, l in iter_linears(params, spec)}
+
+    cfg = ASVDConfig(model_id="t", param_ratio_target=0.8, rank_align=1)
+    _, manifest = binary_search_truncation_rank(
+        params, spec, sensitivity, _loader(2), cfg)
+    ref_ratios = ref_cut_config(sensitivity, numels, 0.8)
+
+    for name, r in ref_ratios.items():
+        o, i = get_linear(params, spec, name)["w"].shape
+        expected = min(rank_for_param_ratio(i, o, r, 1), i, o) if r != 1 else None
+        assert manifest.get(name) == expected, name
+
+
+def test_kv_mode_filters_and_halves(tiny):
+    params, spec = tiny
+    names = [n for n, _ in iter_linears(params, spec)]
+    rng = np.random.RandomState(8)
+    grid = [round(0.1 * i, 10) for i in range(1, 20)]
+    sensitivity = {n: {r: float(rng.uniform(10, 100) / r) for r in grid}
+                   for n in names}
+    cfg = ASVDConfig(model_id="t", compress_kv_cache=True,
+                     kv_cache_ratio_target=0.5)
+    out, manifest = binary_search_truncation_rank(
+        params, spec, sensitivity, _loader(2), cfg)
+    assert manifest, "kv search should compress something"
+    assert all(("k_proj" in n or "v_proj" in n) for n in manifest)
+    # realized kv rank ratio <= target (approximately, quantized by grid)
+    tot = comp = 0
+    for n, leaf in iter_linears(out, spec):
+        if "k_proj" in n or "v_proj" in n:
+            if is_lowrank(leaf):
+                o, i = leaf["A"].shape[0], leaf["B"].shape[1]
+                tot += o * i
+                comp += leaf["A"].size + leaf["B"].size
+            else:
+                tot += leaf["w"].size
+                comp += 2 * leaf["w"].size  # default ratio 2
+    assert comp / tot / 2 <= 0.55
+
+
+def test_end_to_end_pipeline_tiny(tiny, tmp_path):
+    """calibrate -> sensitivity -> search -> compressed model with lower
+    params and bounded PPL regression."""
+    params, spec = tiny
+    loader = _loader(3, L=48, seed=3)
+    cfg = ASVDConfig(model_id="t", param_ratio_target=0.9, act_aware=True,
+                     alpha=0.5, n_calib_samples=3, svd_backend="exact")
+
+    stats = calib_input_distribution(params, spec, loader, "abs_mean")
+    sens = calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats)
+    assert all(len(v) == 6 for v in sens.values())
+
+    out, manifest = binary_search_truncation_rank(
+        params, spec, sens, loader, cfg, stats=stats)
+    assert manifest, "should compress at least one layer"
+
+    p_before = count_linear_params(params, spec)
+    p_after = count_linear_params(out, spec)
+    # the reference's final config reuses the last loop `mid`, which can
+    # land one grid step above the target on coarse grids (parity quirk) —
+    # so only require real compression, not exact target attainment
+    assert p_after < p_before
+
+    ids = np.concatenate([b["input_ids"] for b in loader], 0)
+    ppl_dense = evaluate_perplexity(params, spec, ids)
+    ppl_comp = evaluate_perplexity(out, spec, ids)
+    # random tiny model: just require no catastrophic blowup
+    assert ppl_comp < ppl_dense * 3
+
+
+def test_stable_rank_sensitivity(tiny):
+    params, spec = tiny
+    sens = calib_sensitivity_stable_rank(params, spec, _loader(1),
+                                         ASVDConfig(model_id="t"))
+    names = [n for n, _ in iter_linears(params, spec)]
+    assert set(sens) == set(names)
+    for n, d in sens.items():
+        assert len(d) == 9
+        # score = -sr * r**0.1 is increasing in magnitude with r... i.e.
+        # more negative at higher ratio
+        rs = sorted(d)
+        assert d[rs[0]] > d[rs[-1]]
+
+
+def test_sensitivity_cache_roundtrip(tiny, tmp_path):
+    from asvd4llm_tpu.utils.cache import ArtifactCache
+    params, spec = tiny
+    loader = _loader(2, L=24)
+    cfg = ASVDConfig(model_id="t", param_ratio_target=0.9,
+                     svd_backend="exact")
+    cache = ArtifactCache(str(tmp_path))
+    s1 = calib_sensitivity_ppl(params, spec, loader, cfg, cache=cache)
+    s2 = calib_sensitivity_ppl(params, spec, [], cfg, cache=cache)
+    assert s1.keys() == s2.keys()
+    for k in s1:
+        assert s1[k] == pytest.approx(s2[k])
