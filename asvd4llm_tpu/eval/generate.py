@@ -1,0 +1,335 @@
+"""Autoregressive generation with dense or low-rank-latent KV caches.
+
+The reference's KV-cache compression mode factorizes k_proj/v_proj and
+*accounts* the cache ratio as the rank ratio, but the HF runtime still
+caches full-dimension K/V (SURVEY §3.3; ref binary_search.py:94-96) — the
+saving is never realized. Here we actually cache the rank-dim latents
+``t = x @ B.T`` and reconstruct at attention time:
+
+- V side is ABSORBED: the attention-weighted sum is taken over the V
+  latents, and the up-projection A_v is applied to the (tiny) result —
+  full V is never materialized, per-step cost is O(H*hd*Rv), independent
+  of context length.
+- K side latents are up-projected to head space before RoPE each step
+  (RoPE does not commute with the up-projection, the same reason MLA
+  needs decoupled RoPE keys). This trades FLOPs for HBM: the cache read
+  shrinks from T*KV*hd to T*Rk.
+
+Cache memory per token per layer: (Rk + Rv) vs 2*KV*hd dense — exactly the
+kv_cache_ratio the search targets, now real.
+
+Greedy generation (ref tools/eval_longbench.py:337-353 uses greedy
+model.generate) with a jitted one-token decode step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asvd4llm_tpu.models.decoder import (
+    _activation, apply_lm_head, apply_norm, apply_rope, forward_hidden,
+    rope_cos_sin,
+)
+from asvd4llm_tpu.models.registry import is_lowrank
+from asvd4llm_tpu.ops.lowrank import dense_apply, lowrank_apply
+
+
+def layer_uses_latent_kv(layer) -> bool:
+    return is_lowrank(layer["k_proj"]) and is_lowrank(layer["v_proj"])
+
+
+def init_caches(params, spec, batch: int, max_len: int, dtype=jnp.bfloat16,
+                *, latent: bool = False) -> list:
+    """Per-layer cache pytrees. Dense: {"k","v"} [B,T,KV,hd]. Latent (only
+    for layers whose k/v projections are low-rank): {"tk","tv"} [B,T,R]."""
+    caches = []
+    for layer in params["layers"]:
+        if latent and layer_uses_latent_kv(layer):
+            rk = layer["k_proj"]["A"].shape[1]
+            rv = layer["v_proj"]["A"].shape[1]
+            caches.append({
+                "tk": jnp.zeros((batch, max_len, rk), dtype),
+                "tv": jnp.zeros((batch, max_len, rv), dtype),
+            })
+        else:
+            caches.append({
+                "k": jnp.zeros((batch, max_len, spec.kv_dim // spec.head_dim,
+                                spec.head_dim), dtype),
+                "v": jnp.zeros((batch, max_len, spec.kv_dim // spec.head_dim,
+                                spec.head_dim), dtype),
+            })
+    return caches
+
+
+def _apply_leaf(leaf, x):
+    if is_lowrank(leaf):
+        return lowrank_apply(x, leaf["A"], leaf["B"], leaf["b"])
+    return dense_apply(x, leaf["w"], leaf["b"])
+
+
+def _latent(leaf, x):
+    """Rank-dim latent t = x @ B.T (the cacheable quantity)."""
+    return jax.lax.dot_general(
+        x, leaf["B"], (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _up_k(leaf, t, B, T, KV, hd):
+    """Latents [B,T,Rk] -> K heads [B,T,KV,hd] via A_k (+ bias)."""
+    k = jax.lax.dot_general(
+        t, leaf["A"], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if leaf["b"] is not None:
+        k = k + leaf["b"].astype(jnp.float32)
+    return k.astype(t.dtype).reshape(B, T, KV, hd)
+
+
+def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx):
+    """One-token attention (x: [B,1,H*hd]) against the cache; returns
+    (attn_out, updated cache)."""
+    B = x.shape[0]
+    H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    T = (cache["tk"] if "tk" in cache else cache["k"]).shape[1]
+    rep = H // KV
+
+    q = _apply_leaf(layer["q_proj"], x).reshape(B, 1, H, hd)
+    cos_q = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1)
+    sin_q = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1)
+    if spec.pos_emb == "rope":
+        q = apply_rope(q, cos_q, sin_q)
+
+    scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
+    k_pos = jnp.arange(T)
+    allow = k_pos <= pos
+    if spec.layer_uses_sliding(layer_idx):
+        allow &= k_pos > pos - spec.sliding_window
+    mask = jnp.where(allow, 0.0, jnp.float32(-1e30))[None, None, :]  # [1,1,T]
+
+    if "tk" in cache:  # --- latent low-rank path ---
+        tk_new = _latent(layer["k_proj"], x)            # [B,1,Rk]
+        tv_new = _latent(layer["v_proj"], x)            # [B,1,Rv]
+        tk = jax.lax.dynamic_update_slice(cache["tk"],
+                                          tk_new.astype(cache["tk"].dtype),
+                                          (0, pos, 0))
+        tv = jax.lax.dynamic_update_slice(cache["tv"],
+                                          tv_new.astype(cache["tv"].dtype),
+                                          (0, pos, 0))
+        new_cache = {"tk": tk, "tv": tv}
+
+        k = _up_k(layer["k_proj"], tk, B, T, KV, hd)
+        if spec.pos_emb == "rope":
+            k = apply_rope(k, cos_full, sin_full)
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=2)
+        logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k,
+                            preferred_element_type=jnp.float32) * scale
+        if spec.attn_logit_softcap > 0:
+            logits = spec.attn_logit_softcap * jnp.tanh(
+                logits / spec.attn_logit_softcap)
+        probs = jax.nn.softmax(logits + mask, axis=-1)   # [B,H,T] f32
+        # absorbed V: s = probs @ tv  -> [B,H,Rv]; out_h = A_v[g(h)] @ s_h
+        s = jnp.einsum("bhk,bkr->bhr", probs.astype(tv.dtype), tv,
+                       preferred_element_type=jnp.float32)
+        a_v = layer["v_proj"]["A"].reshape(KV, hd, -1)   # [KV,hd,Rv]
+        a_vq = jnp.repeat(a_v, rep, axis=0)              # [H,hd,Rv]
+        out = jnp.einsum("bhr,hdr->bhd", s.astype(a_vq.dtype), a_vq,
+                         preferred_element_type=jnp.float32)
+        if layer["v_proj"]["b"] is not None:
+            vb = layer["v_proj"]["b"].reshape(KV, hd)
+            vb = jnp.repeat(vb, rep, axis=0)
+            # bias contributes sum(probs) * b = 1 * b after softmax
+            out = out + vb.astype(jnp.float32)[None]
+        out = out.astype(x.dtype).reshape(B, 1, H * hd)
+    else:  # --- dense-cache path ---
+        k_new = _apply_leaf(layer["k_proj"], x).reshape(B, 1, KV, hd)
+        v_new = _apply_leaf(layer["v_proj"], x).reshape(B, 1, KV, hd)
+        if spec.pos_emb == "rope":
+            k_new = apply_rope(k_new, cos_q, sin_q)
+        k = jax.lax.dynamic_update_slice(cache["k"],
+                                         k_new.astype(cache["k"].dtype),
+                                         (0, pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache["v"],
+                                         v_new.astype(cache["v"].dtype),
+                                         (0, pos, 0, 0))
+        new_cache = {"k": k, "v": v}
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k,
+                            preferred_element_type=jnp.float32) * scale
+        if spec.attn_logit_softcap > 0:
+            logits = spec.attn_logit_softcap * jnp.tanh(
+                logits / spec.attn_logit_softcap)
+        probs = jax.nn.softmax(logits + mask, axis=-1)
+        out = jnp.einsum("bhk,bkhd->bhd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).reshape(B, 1, H * hd)
+
+    o_key = "o_proj" if "o_proj" in layer else "out_proj"
+    return _apply_leaf(layer[o_key], out), new_cache
+
+
+def _decode_layer(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx):
+    if spec.family == "opt":
+        residual = x
+        h = apply_norm(spec, layer["ln1"], x) if spec.do_layer_norm_before else x
+        attn, new_cache = _attend_step(spec, layer, h, cache, pos, cos_full,
+                                       sin_full, layer_idx)
+        x = residual + attn
+        if not spec.do_layer_norm_before:
+            x = apply_norm(spec, layer["ln1"], x)
+        residual = x
+        h = apply_norm(spec, layer["ln2"], x) if spec.do_layer_norm_before else x
+        h = _apply_leaf(layer["fc2"], _activation(spec, _apply_leaf(layer["fc1"], h)))
+        x = residual + h
+        if not spec.do_layer_norm_before:
+            x = apply_norm(spec, layer["ln2"], x)
+        return x, new_cache
+
+    residual = x
+    h = apply_norm(spec, layer["ln1"], x)
+    attn, new_cache = _attend_step(spec, layer, h, cache, pos, cos_full,
+                                   sin_full, layer_idx)
+    if spec.post_attn_out_norm:
+        attn = apply_norm(spec, layer["ln1_post"], attn)
+    x = residual + attn
+    residual = x
+    h = apply_norm(spec, layer["ln2"], x)
+    gate = _activation(spec, _apply_leaf(layer["gate_proj"], h))
+    up = _apply_leaf(layer["up_proj"], h)
+    mlp = _apply_leaf(layer["down_proj"], gate * up)
+    if spec.post_mlp_out_norm:
+        mlp = apply_norm(spec, layer["ln2_post"], mlp)
+    return residual + mlp, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def decode_step(params, spec, token, caches, pos):
+    """token: [B,1] -> (logits [B,vocab], new caches). pos: scalar int."""
+    emb = params["embed_tokens"]
+    x = emb[token]
+    if spec.embed_scale != 1.0:
+        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    max_len = (caches[0]["k"] if "k" in caches[0] else caches[0]["tk"]).shape[1]
+    if spec.pos_emb == "learned":
+        x = x + params["embed_positions"][pos + spec.pos_offset][None, None, :]
+        cos_full = sin_full = jnp.zeros((max_len, spec.head_dim))
+    else:
+        cos_full, sin_full = rope_cos_sin(jnp.arange(max_len), spec.head_dim,
+                                          spec.rope_theta)
+    new_caches = []
+    for i, layer in enumerate(params["layers"]):
+        x, c = _decode_layer(spec, layer, x, caches[i], pos, cos_full,
+                             sin_full, i)
+        new_caches.append(c)
+    if spec.final_norm and params.get("final_norm") is not None:
+        x = apply_norm(spec, params["final_norm"], x)
+    logits = apply_lm_head(params, spec, x)[:, 0]
+    return logits, new_caches
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def prefill(params, spec, ids, caches):
+    """Full-sequence forward that also fills dense caches; returns
+    (last-position logits [B,vocab], caches)."""
+    hidden, new_caches = forward_hidden(
+        params, ids, spec,
+        caches=[(c["k"], c["v"]) for c in caches], cache_pos=0)
+    logits = apply_lm_head(params, spec, hidden[:, -1:, :])[:, 0]
+    return logits, [{"k": k, "v": v} for k, v in new_caches]
+
+
+def prefill_host(params, spec, ids, caches, *, latent=False):
+    """Prefill wrapper handling the latent layout (latent layers get their
+    latents computed directly; attention itself runs the normal full
+    forward which is compute-bound anyway)."""
+    if not latent:
+        return prefill(params, spec, ids, caches)
+    B, S = ids.shape
+    # prefill is compute-bound, so run the standard dense-cache prefill for
+    # logits, then compute the latents for low-rank k/v layers in one extra
+    # jitted pass over the attention inputs
+    dense_caches = init_caches(params, spec, B,
+                               (caches[0]["tk"] if "tk" in caches[0]
+                                else caches[0]["k"]).shape[1],
+                               dtype=list(caches[0].values())[0].dtype,
+                               latent=False)
+    logits, filled = prefill(params, spec, ids, dense_caches)
+    latents = _attention_input_latents(params, spec, ids)
+    out_caches = []
+    for i, cache in enumerate(caches):
+        if "tk" in cache:
+            tk, tv = latents[i]
+            T = cache["tk"].shape[1]
+            tk = jnp.pad(tk, ((0, 0), (0, T - S), (0, 0)))
+            tv = jnp.pad(tv, ((0, 0), (0, T - S), (0, 0)))
+            out_caches.append({"tk": tk.astype(cache["tk"].dtype),
+                               "tv": tv.astype(cache["tv"].dtype)})
+        else:
+            out_caches.append(filled[i])
+    return logits, out_caches
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _attention_input_latents(params, spec, ids):
+    """Per-layer (tk, tv) latents for low-rank k/v layers over a full
+    sequence (used by latent prefill)."""
+    emb = params["embed_tokens"]
+    x = emb[ids]
+    if spec.embed_scale != 1.0:
+        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    S = ids.shape[1]
+    positions = jnp.arange(S)
+    if spec.pos_emb == "learned":
+        x = x + params["embed_positions"][positions + spec.pos_offset]
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
+    from asvd4llm_tpu.models.decoder import _causal_mask, _layer_with_names
+    latents = []
+    for i, layer in enumerate(params["layers"]):
+        if layer_uses_latent_kv(layer):
+            h = apply_norm(spec, layer["ln1"], x) if spec.family != "opt" or \
+                spec.do_layer_norm_before else x
+            latents.append((_latent(layer["k_proj"], h),
+                            _latent(layer["v_proj"], h)))
+        else:
+            latents.append(None)
+        mask = _causal_mask(spec, i, positions, positions, None)
+        x, _ = _layer_with_names(spec, layer, x, i, cos, sin, mask,
+                                 stats=None, collect=None, use_pallas=False,
+                                 cache=None, cache_pos=0)
+    return latents
+
+
+def generate(params, spec, input_ids, *, max_new_tokens: int = 32,
+             eos_token_id: Optional[int] = None, max_len: Optional[int] = None,
+             latent_kv: bool = False, dtype=None) -> np.ndarray:
+    """Greedy generation. input_ids: [B, S] -> [B, S + new]."""
+    ids = jnp.asarray(np.asarray(input_ids))
+    B, S = ids.shape
+    total = max_len or (S + max_new_tokens)
+    dtype = dtype or params["embed_tokens"].dtype
+    caches = init_caches(params, spec, B, total, dtype, latent=latent_kv)
+
+    logits, caches = prefill_host(params, spec, ids, caches, latent=latent_kv)
+    out = [np.asarray(ids)]
+    token = jnp.argmax(logits, axis=-1)[:, None].astype(ids.dtype)
+    finished = np.zeros((B,), bool)
+    for step in range(max_new_tokens):
+        out.append(np.asarray(token))
+        if eos_token_id is not None:
+            finished |= (np.asarray(token)[:, 0] == eos_token_id)
+            if finished.all():
+                break
+        if step == max_new_tokens - 1:
+            break
+        logits, caches = decode_step(params, spec, token, caches,
+                                     S + step)
+        token = jnp.argmax(logits, axis=-1)[:, None].astype(ids.dtype)
+    return np.concatenate(out, axis=1)

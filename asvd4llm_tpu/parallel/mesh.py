@@ -1,0 +1,136 @@
+"""Device mesh + sharding rules (the reference has NO distributed backend —
+its parallelism is HF accelerate layer placement plus shell-level job
+fan-out, ref asvd.py:25-27, experiments/kv_cache.sh; see SURVEY §2.3/§5.8.
+This module is the TPU-native green-field replacement).
+
+Design: a 2-axis logical mesh ("dp", "tp") over ICI. Parameters get
+NamedShardings; jit + GSPMD inserts the collectives:
+
+- column-parallel linears (q/k/v/gate/up/fc1): weight [out, in] sharded
+  ("tp", None) — output activations end up head-sharded, no collective;
+- row-parallel linears (o/down/fc2): weight sharded (None, "tp") — GSPMD
+  emits one psum per layer output, riding ICI;
+- low-rank leaves: column-parallel layers shard A on out ("tp", None) with
+  B replicated; row-parallel layers shard B on in (None, "tp") with A
+  replicated — the cross-shard reduction then happens on the RANK dim
+  (cheaper than the dense row-parallel psum whenever rank < out);
+- embeddings / lm_head shard the vocab dim; norms replicate;
+- calibration/eval batches shard over "dp"; stats reductions (sum/max over
+  batch) become cross-dp psum/pmax automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# layer-key -> parallel style
+_COLUMN_KEYS = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "fc1"}
+_ROW_KEYS = {"o_proj", "out_proj", "down_proj", "fc2"}
+
+
+def make_mesh(shape=(1, 1), devices=None, axis_names=("dp", "tp")) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = int(np.prod(shape))
+    assert n <= len(devices), f"mesh {shape} needs {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def _leaf_spec(key: str, leaf: dict, tp_size: int) -> dict:
+    """PartitionSpecs for one linear leaf dict."""
+    if tp_size <= 1:
+        return {k: P() for k in leaf if leaf[k] is not None} | \
+               {k: None for k in leaf if leaf[k] is None}
+    is_lr = "A" in leaf
+    if key in _COLUMN_KEYS:
+        if is_lr:
+            specs = {"A": P("tp", None), "B": P(), "b": P("tp")}
+        else:
+            specs = {"w": P("tp", None), "b": P("tp")}
+    elif key in _ROW_KEYS:
+        if is_lr:
+            specs = {"A": P(), "B": P(None, "tp"), "b": P()}
+        else:
+            specs = {"w": P(None, "tp"), "b": P()}
+    else:
+        specs = {k: P() for k in leaf}
+    return {k: (None if leaf.get(k) is None else specs.get(k, P()))
+            for k in leaf}
+
+
+def _divisible(leaf_specs: dict, leaf: dict, tp_size: int) -> dict:
+    """Fall back to replication for any dim not divisible by tp."""
+    out = {}
+    for k, spec in leaf_specs.items():
+        if spec is None or leaf.get(k) is None:
+            out[k] = spec
+            continue
+        shape = leaf[k].shape
+        ok = True
+        for dim, axis in zip(shape, tuple(spec) + (None,) * len(shape)):
+            if axis == "tp" and dim % tp_size != 0:
+                ok = False
+        out[k] = spec if ok else P()
+    return out
+
+
+def param_specs(params: dict, spec, tp_size: int) -> dict:
+    """PartitionSpec pytree matching the params pytree."""
+    from asvd4llm_tpu.models.registry import layer_linear_keys
+
+    def norm_spec(norm):
+        if norm is None:
+            return None
+        return {k: (None if v is None else P()) for k, v in norm.items()}
+
+    out: dict = {}
+    V, H = params["embed_tokens"].shape
+    out["embed_tokens"] = P("tp", None) if tp_size > 1 and V % tp_size == 0 else P()
+    if "embed_positions" in params:
+        out["embed_positions"] = P()
+    layers = []
+    for layer in params["layers"]:
+        lsp: dict = {}
+        for key, val in layer.items():
+            if key in layer_linear_keys(spec):
+                lsp[key] = _divisible(_leaf_spec(key, val, tp_size), val, tp_size)
+            else:
+                lsp[key] = norm_spec(val)
+        layers.append(lsp)
+    out["layers"] = layers
+    out["final_norm"] = norm_spec(params.get("final_norm"))
+    lm = params.get("lm_head")
+    if lm is None:
+        out["lm_head"] = None
+    else:
+        Vl, _ = lm["w"].shape
+        wspec = P("tp", None) if tp_size > 1 and Vl % tp_size == 0 else P()
+        out["lm_head"] = {"w": wspec,
+                          "b": None if lm.get("b") is None else P()}
+    return out
+
+
+def param_shardings(params: dict, spec, mesh: Mesh) -> dict:
+    tp_size = mesh.shape.get("tp", 1)
+    specs = param_specs(params, spec, tp_size)
+    return jax.tree.map(
+        lambda s: None if s is None else NamedSharding(mesh, s),
+        specs, is_leaf=lambda x: x is None or isinstance(x, P))
+
+
+def shard_params(params: dict, spec, mesh: Mesh) -> dict:
+    """Place a host params pytree onto the mesh with the TP layout."""
+    shardings = param_shardings(params, spec, mesh)
+    return jax.tree.map(
+        lambda x, s: x if s is None or x is None else jax.device_put(x, s),
+        params, shardings,
+        is_leaf=lambda x: x is None or not isinstance(x, (dict, list)))
+
+
+def data_sharding(mesh: Mesh, *, batch_axis: str = "dp") -> NamedSharding:
+    """[B, S] token batches shard over the data-parallel axis."""
+    return NamedSharding(mesh, P(batch_axis, None))
