@@ -21,11 +21,11 @@ log = logging.getLogger(__name__)
 _BITS = {"rtn_int8": 8, "rtn_int6": 6, "rtn_int4": 4}
 
 
-def quantize_model_weights(params, spec, weight_quant: str):
+def quantize_model_weights(params, spec, weight_quant: str, *, stats=None):
     if weight_quant.startswith("awq"):
         from asvd4llm_tpu.ops.awq import awq_quantize_model
         bits = 8 if weight_quant == "awq_int8" else 4
-        return awq_quantize_model(params, spec, bits)
+        return awq_quantize_model(params, spec, bits, stats=stats)
     bits = _BITS[weight_quant]
     quant = jax.jit(lambda w: rtn_quantize_weight(w, bits))
     out = params

@@ -34,40 +34,58 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
              vocab_size=None, allow_synthetic_fallback=False):
     """Run calibration + sensitivity + search; returns
     (compressed_params, manifest, artifacts dict)."""
+    from asvd4llm_tpu.utils.profiling import phase
+
     cache = ArtifactCache(cfg.cache_dir, enabled=cfg.use_cache)
-    calib_loader = get_calib_data(
-        cfg.calib_dataset, tokenizer, cfg.model_id, cfg.n_calib_samples,
-        seqlen=cfg.seqlen, seed=cfg.seed, use_bos=cfg.use_bos,
-        cache_dir=cfg.cache_dir, use_cache=cfg.use_cache,
-        vocab_size=vocab_size or spec.vocab_size,
-        allow_synthetic_fallback=allow_synthetic_fallback)
+    with phase("calib_data"):
+        if cfg.calib_dataset == "selfgen":
+            from asvd4llm_tpu.tools.selfgen import gen_calib_set
+            calib_loader = gen_calib_set(
+                params, spec, tokenizer, cfg.model_id,
+                nsamples=cfg.n_calib_samples, seqlen=cfg.seqlen,
+                seed=cfg.seed, cache_dir=cfg.cache_dir,
+                use_cache=cfg.use_cache)
+        else:
+            calib_loader = get_calib_data(
+                cfg.calib_dataset, tokenizer, cfg.model_id,
+                cfg.n_calib_samples, seqlen=cfg.seqlen, seed=cfg.seed,
+                use_bos=cfg.use_bos, cache_dir=cfg.cache_dir,
+                use_cache=cfg.use_cache,
+                vocab_size=vocab_size or spec.vocab_size,
+                allow_synthetic_fallback=allow_synthetic_fallback)
 
     fisher = None
     stats = None
     if "fisher" in cfg.scaling_method:
-        fisher = calib_fisher_info(params, spec, calib_loader, cache=cache,
-                                   cache_key=cfg.calib_key())
+        with phase("calib_fisher"):
+            fisher = calib_fisher_info(params, spec, calib_loader,
+                                       cache=cache, cache_key=cfg.calib_key())
     if "abs" in cfg.scaling_method:
-        stats = calib_input_distribution(params, spec, calib_loader,
-                                         cfg.scaling_method, cache=cache,
-                                         cache_key=cfg.calib_key())
+        with phase("calib_stats"):
+            stats = calib_input_distribution(params, spec, calib_loader,
+                                             cfg.scaling_method, cache=cache,
+                                             cache_key=cfg.calib_key())
 
-    if cfg.sensitivity_metric == "ppl":
-        sensitivity = calib_sensitivity_ppl(params, spec, calib_loader, cfg,
-                                            stats=stats, fisher=fisher,
-                                            cache=cache)
-    else:
-        sensitivity = calib_sensitivity_stable_rank(params, spec,
-                                                    calib_loader, cfg,
-                                                    cache=cache)
+    with phase("sensitivity"):
+        if cfg.sensitivity_metric == "ppl":
+            sensitivity = calib_sensitivity_ppl(params, spec, calib_loader,
+                                                cfg, stats=stats,
+                                                fisher=fisher, cache=cache)
+        else:
+            sensitivity = calib_sensitivity_stable_rank(params, spec,
+                                                        calib_loader, cfg,
+                                                        cache=cache)
 
-    compressed, manifest = binary_search_truncation_rank(
-        params, spec, sensitivity, calib_loader, cfg,
-        stats=stats, fisher=fisher)
+    with phase("binary_search"):
+        compressed, manifest = binary_search_truncation_rank(
+            params, spec, sensitivity, calib_loader, cfg,
+            stats=stats, fisher=fisher)
 
     if cfg.weight_quant != "none":
         from asvd4llm_tpu.ops.quant_apply import quantize_model_weights
-        compressed = quantize_model_weights(compressed, spec, cfg.weight_quant)
+        with phase("weight_quant"):
+            compressed = quantize_model_weights(compressed, spec,
+                                                cfg.weight_quant, stats=stats)
 
     artifacts = {"stats": stats, "fisher": fisher, "sensitivity": sensitivity,
                  "calib_loader": calib_loader}

@@ -1,0 +1,80 @@
+"""Export round-trip tests: Orbax+manifest native checkpoint, and the
+HF trust_remote_code repo loaded back through transformers itself."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from asvd4llm_tpu.eval.ppl import evaluate_perplexity  # noqa: E402
+from asvd4llm_tpu.export.checkpoint import load_compressed, save_compressed  # noqa: E402
+from asvd4llm_tpu.export.hf_repo import export_hf_repo  # noqa: E402
+from asvd4llm_tpu.models import forward, params_from_torch_model  # noqa: E402
+from asvd4llm_tpu.models.registry import (  # noqa: E402
+    get_linear, is_lowrank, lowrank_leaf, set_linear,
+)
+from asvd4llm_tpu.ops.asvd import factorize_linear  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def compressed():
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    manifest = {}
+    for name in ("model.layers.0.mlp.gate_proj",
+                 "model.layers.1.self_attn.q_proj"):
+        leaf = get_linear(params, spec, name)
+        f = factorize_linear(leaf["w"], leaf["b"], 0.6, backend="exact")
+        params = set_linear(params, spec, name, lowrank_leaf(f.A, f.B, f.bias))
+        manifest[name] = f.rank
+    return model.config, params, spec, manifest
+
+
+def test_orbax_roundtrip(compressed, tmp_path):
+    _, params, spec, manifest = compressed
+    path = str(tmp_path / "ckpt")
+    save_compressed(path, params, spec, manifest)
+    p2, spec2, ranks2 = load_compressed(path, dtype=jnp.float32)
+    assert spec2 == spec
+    assert ranks2 == manifest
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, size=(2, 12)))
+    np.testing.assert_allclose(np.asarray(forward(p2, ids, spec2)),
+                               np.asarray(forward(params, ids, spec)),
+                               atol=1e-5)
+    # PPL identical through the restored model
+    data = np.random.RandomState(1).randint(0, 128, size=(2, 16))
+    assert evaluate_perplexity(p2, spec2, data) == pytest.approx(
+        evaluate_perplexity(params, spec, data), rel=1e-5)
+
+
+def test_hf_repo_roundtrip_through_transformers(compressed, tmp_path):
+    """The exported repo must load with stock transformers trust_remote_code
+    and reproduce our logits — the reference's deployment contract
+    (ref README.md:15-24)."""
+    hf_config, params, spec, manifest = compressed
+    repo = str(tmp_path / "repo")
+    export_hf_repo(repo, params, spec, manifest, hf_config=hf_config)
+
+    loaded = transformers.AutoModelForCausalLM.from_pretrained(
+        repo, trust_remote_code=True).eval()
+    # factored layers present with right shapes
+    mods = dict(loaded.named_modules())
+    gp = mods["model.layers.0.mlp.gate_proj"]
+    assert hasattr(gp, "ALinear") and hasattr(gp, "BLinear")
+    assert gp.BLinear.weight.shape == (manifest["model.layers.0.mlp.gate_proj"], 32)
+
+    ids = np.random.RandomState(2).randint(0, 128, size=(1, 10))
+    with torch.no_grad():
+        ref = loaded(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
