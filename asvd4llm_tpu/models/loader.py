@@ -120,6 +120,49 @@ def params_from_torch_model(model, dtype=jnp.bfloat16) -> tuple[dict, DecoderSpe
     return params_from_state_dict(sd, spec, dtype), spec
 
 
+class _NumpyTensor:
+    """Duck-typed stand-in for a torch tensor in _t2j (numpy-backed)."""
+
+    def __init__(self, arr):
+        self._arr = arr
+
+    def detach(self):
+        return self
+
+    def to(self, *_):
+        return self
+
+    def float(self):
+        return _NumpyTensor(self._arr.astype(np.float32))
+
+    def numpy(self):
+        return self._arr
+
+
+def load_model_native(model_dir: str, dtype=jnp.bfloat16
+                      ) -> tuple[dict, DecoderSpec]:
+    """Torch-free checkpoint load: native mmap'd safetensors reader
+    (utils/tensorio, C++ dtype conversion) + config.json -> (params, spec).
+    The fast path for big checkpoints — no torch module tree is ever
+    built (unlike the reference's AutoModelForCausalLM load,
+    ref asvd.py:25-27)."""
+    import json as _json
+
+    from transformers import AutoConfig
+
+    from asvd4llm_tpu.utils.tensorio import load_safetensors_state_dict
+
+    config = AutoConfig.from_pretrained(model_dir)
+    spec = spec_from_hf_config(config)
+    raw = load_safetensors_state_dict(model_dir, to_f32=True)
+    sd = {k: _NumpyTensor(v) for k, v in raw.items()}
+    # HF may omit tied lm_head / use "model."-less names; normalize common
+    # aliases
+    if spec.tie_word_embeddings and "lm_head.weight" in sd:
+        pass  # params_from_state_dict ignores it for tied specs
+    return params_from_state_dict(sd, spec, dtype), spec
+
+
 def load_model(model_id_or_path: str, dtype=jnp.bfloat16,
                trust_remote_code: bool = True) -> tuple[dict, DecoderSpec, object]:
     """Load (params, spec, tokenizer) from a local HF checkpoint directory

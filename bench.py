@@ -30,7 +30,7 @@ H, I = 4096, 11008
 RATIO = 0.85
 RANK_ALIGN = 128
 BATCH = 16
-SCAN_ITERS = 50
+SCAN_ITERS = 200
 ATTN_SHAPES = [(H, H)] * 4          # q, k, v, o
 MLP_SHAPES = [(I, H), (I, H), (H, I)]  # gate, up, down
 
@@ -79,20 +79,24 @@ def _layer_lowrank(fs, x):
 
 
 def scan_timer(layer_fn, weights, x, iters=SCAN_ITERS, reps=5):
-    # weights must be jit ARGUMENTS, not closure constants — constants get
-    # baked into the HLO as literals (huge programs; the axon remote-compile
-    # endpoint rejects them with HTTP 413)
+    # Axon-tunnel benchmarking rules (measured, see memory/axon-tpu-quirks):
+    # - weights must be jit ARGUMENTS, not closure constants (constants bake
+    #   into the HLO; the remote-compile endpoint 413s on big programs);
+    # - block_until_ready() does NOT synchronize on this backend — the only
+    #   reliable sync is a host fetch, so each rep fetches a scalar;
+    # - per-call round trip is ~28ms, so the layer is applied `iters` times
+    #   inside one jit (lax.scan) to push dispatch overhead below ~3%.
     @jax.jit
     def f(weights, x):
         def body(c, _):
             return layer_fn(weights, c) * 0.5, ()
-        return jax.lax.scan(body, x, None, length=iters)[0]
+        return jnp.sum(jax.lax.scan(body, x, None, length=iters)[0])
 
-    f(weights, x).block_until_ready()
+    float(f(weights, x))  # compile + first-fetch channel setup
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        f(weights, x).block_until_ready()
+        float(f(weights, x))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
