@@ -59,6 +59,41 @@ def _recomposed_dense(w, bias, ratio, scale, alpha, rank_align, svd_backend,
     return dense_leaf(w_hat, bias)
 
 
+def _recomposed_dense_all_ratios(w, bias, ratios, scale, rank_align,
+                                 svd_backend, key):
+    """ONE SVD per layer serving every ratio in the grid: truncating a
+    rank-R factorization at r < R gives exactly the rank-r ASVD solution,
+    so the reference's per-(layer, ratio) SVD loop (ref sensitivity.py:
+    43-59, 6 SVDs per layer) collapses to a single decomposition + cheap
+    GEMM recompositions. Returns {ratio: dense_leaf | None}."""
+    from asvd4llm_tpu.ops.svd import truncated_svd
+
+    out_f, in_f = w.shape
+    ranks = {r: min(rank_for_param_ratio(in_f, out_f, r, rank_align),
+                    in_f, out_f)
+             for r in ratios}
+    max_rank = max(ranks.values())
+    if max_rank <= 0:
+        return {r: None for r in ratios}
+
+    w32 = w.astype(jnp.float32)
+    if scale is not None:
+        w32 = w32 * scale[None, :]
+    u, s, vh = truncated_svd(w32, max_rank, backend=svd_backend, key=key)
+    if scale is not None:
+        vh = vh / scale[None, :]
+
+    out = {}
+    for r, rank in ranks.items():
+        if rank <= 0:
+            out[r] = None
+            continue
+        w_hat = ((u[:, :rank] * s[:rank][None, :]) @ vh[:rank, :]).astype(w.dtype)
+        out[r] = dense_leaf(w_hat, bias) if bool(jnp.isfinite(w_hat).all()) \
+            else None
+    return out
+
+
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None) -> dict:
     """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
@@ -87,11 +122,12 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
             None if fisher is None else fisher.get(name),
             cfg.alpha)
         sensitivity[name] = {}
+        key, sub = jax.random.split(key)
+        leaves = _recomposed_dense_all_ratios(
+            leaf["w"], leaf["b"], grid, scale, cfg.rank_align,
+            cfg.svd_backend, sub)
         for ratio in grid:
-            key, sub = jax.random.split(key)
-            new_leaf = _recomposed_dense(
-                leaf["w"], leaf["b"], ratio, scale, cfg.alpha,
-                cfg.rank_align, cfg.svd_backend, sub)
+            new_leaf = leaves[ratio]
             if new_leaf is None:
                 # rank 0 / non-finite: infinitely sensitive at this ratio
                 sensitivity[name][ratio] = float("inf")
