@@ -19,6 +19,7 @@ TPU-native re-design of the hot loop:
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from collections import defaultdict
@@ -94,10 +95,37 @@ def _recomposed_dense_all_ratios(w, bias, ratios, scale, rank_align,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "name", "limit"))
+def _ppl_multi_ratio(params, spec, ids, name, w_hats, limit):
+    """PPL of `len(w_hats)` model variants differing only in layer `name`'s
+    recomposed weight, evaluated as ONE vmapped device program — the
+    candidate axis batches the whole forward, filling the MXU where a
+    single calibration row would underutilize it."""
+    from asvd4llm_tpu.eval.ppl import _row_nll
+
+    leaf = get_linear(params, spec, name)
+
+    def eval_one(w_hat):
+        trial = set_linear(params, spec, name,
+                           dense_leaf(w_hat, leaf["b"]))
+
+        def body(carry, row):
+            return carry + _row_nll(trial, spec, row), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), ids[:limit])
+        return jnp.exp(total / limit)
+
+    return jax.vmap(eval_one)(w_hats)
+
+
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
-                          fisher=None, cache=None) -> dict:
+                          fisher=None, cache=None,
+                          batch_ratios: bool = True) -> dict:
     """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
-    (ref sensitivity.py:10-61). Always act-aware (ref :50)."""
+    (ref sensitivity.py:10-61). Always act-aware (ref :50).
+
+    batch_ratios=True evaluates all grid points of a layer in one vmapped
+    program (identical math, candidate-batched); False reproduces the
+    serial reference loop with a single compiled evaluator."""
     if cache is not None:
         hit = cache.load_sensitivity(cfg.sensitivity_key())
         if hit is not None:
@@ -126,18 +154,27 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
         leaves = _recomposed_dense_all_ratios(
             leaf["w"], leaf["b"], grid, scale, cfg.rank_align,
             cfg.svd_backend, sub)
-        for ratio in grid:
-            new_leaf = leaves[ratio]
-            if new_leaf is None:
-                # rank 0 / non-finite: infinitely sensitive at this ratio
-                sensitivity[name][ratio] = float("inf")
-                continue
-            trial = set_linear(params, spec, name, new_leaf)
-            ppl = evaluate_perplexity(trial, spec, input_ids,
-                                      cfg.n_calib_samples)
-            sensitivity[name][ratio] = ppl
-            n_pts += 1
-            log.debug("%s %.2f %.4f", name, ratio, ppl)
+        valid = [r for r in grid if leaves[r] is not None]
+        for ratio in set(grid) - set(valid):
+            # rank 0 / non-finite: infinitely sensitive at this ratio
+            sensitivity[name][ratio] = float("inf")
+        if not valid:
+            continue
+        limit = min(cfg.n_calib_samples, input_ids.shape[0])
+        if batch_ratios:
+            w_hats = jnp.stack([leaves[r]["w"] for r in valid])
+            ppls = _ppl_multi_ratio(params, spec, jnp.asarray(input_ids),
+                                    name, w_hats, limit)
+            for ratio, ppl in zip(valid, np.asarray(ppls)):
+                sensitivity[name][ratio] = float(ppl)
+                n_pts += 1
+        else:
+            for ratio in valid:
+                trial = set_linear(params, spec, name, leaves[ratio])
+                ppl = evaluate_perplexity(trial, spec, input_ids,
+                                          cfg.n_calib_samples)
+                sensitivity[name][ratio] = ppl
+                n_pts += 1
         log.info("sensitivity %s done (%d pts, %.1fs elapsed)",
                  name, n_pts, time.time() - t0)
 

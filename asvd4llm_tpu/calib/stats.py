@@ -33,14 +33,31 @@ def _stats_forward(params, ids, spec, method):
     return stats
 
 
+def _stacked_batches(calib_loader, batch_size: int):
+    """Group same-length samples into [B, L] device batches. Valid because
+    both stats reductions are per-sample-then-combine (sum / max), so
+    stacking preserves the reference's one-sample-at-a-time semantics."""
+    by_len: dict = {}
+    for b in calib_loader:
+        ids = np.asarray(b["input_ids"]).reshape(-1)
+        by_len.setdefault(len(ids), []).append(ids)
+    for L, rows in by_len.items():
+        for i in range(0, len(rows), batch_size):
+            yield np.stack(rows[i:i + batch_size])
+
+
 def calib_input_distribution(params, spec, calib_loader, method: str,
-                             cache=None, cache_key: str = "") -> dict:
+                             cache=None, cache_key: str = "",
+                             batch_size: int = 8) -> dict:
     """Run calibration forwards and return {linear_name: [in_features]}.
 
     calib_loader: list of {"input_ids": [1, L]} dicts (reference loader
-    contract). Samples are bucketed by length so each unique shape compiles
-    once. `method` may be "abs_mean", "abs_max", or the reference's
-    composite strings (substring match, ref act_aware_utils.py:65-69).
+    contract). Same-length samples are STACKED into device batches (the
+    reference runs one sample per forward, ref act_aware_utils.py:84-87) —
+    with a dp mesh axis the stacked batch shards across chips and the
+    sum/max combine rides a psum/pmax. `method` may be "abs_mean",
+    "abs_max", or the reference's composite strings (substring match,
+    ref act_aware_utils.py:65-69).
     """
     if "abs_mean" in method:
         mode = "abs_mean"
@@ -56,9 +73,8 @@ def calib_input_distribution(params, spec, calib_loader, method: str,
             return {k: jnp.asarray(v) for k, v in hit.items()}
 
     acc: dict = {}
-    for batch in calib_loader:
-        ids = jnp.asarray(np.asarray(batch["input_ids"]))
-        stats = _stats_forward(params, ids, spec, mode)
+    for ids_np in _stacked_batches(calib_loader, batch_size):
+        stats = _stats_forward(params, jnp.asarray(ids_np), spec, mode)
         for k, v in stats.items():
             if k not in acc:
                 acc[k] = v

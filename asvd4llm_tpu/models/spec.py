@@ -135,6 +135,23 @@ def spec_from_hf_config(config) -> DecoderSpec:
                 getattr(config, "activation_function", "relu"), "relu"),
             tie_word_embeddings=getattr(config, "tie_word_embeddings", True),
         )
+    if mt == "gemma":
+        return DecoderSpec(
+            family="gemma", pos_emb="rope", norm="rmsnorm", mlp="gated",
+            act="gelu_tanh", rmsnorm_unit_offset=True,
+            tie_word_embeddings=True,
+            vocab_size=config.vocab_size,
+            hidden_size=config.hidden_size,
+            intermediate_size=config.intermediate_size,
+            num_layers=config.num_hidden_layers,
+            num_heads=config.num_attention_heads,
+            num_kv_heads=config.num_key_value_heads,
+            head_dim=config.head_dim,
+            max_position_embeddings=config.max_position_embeddings,
+            rope_theta=getattr(config, "rope_theta", 10000.0),
+            norm_eps=config.rms_norm_eps,
+            embed_scale=config.hidden_size ** 0.5,
+        )
     if mt == "gemma2":
         return gemma2_spec(
             vocab_size=config.vocab_size,

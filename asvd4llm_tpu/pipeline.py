@@ -36,6 +36,14 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
     (compressed_params, manifest, artifacts dict)."""
     from asvd4llm_tpu.utils.profiling import phase
 
+    # multi-chip: place params on the (dp, tp) mesh; every jitted pass
+    # below then runs SPMD via GSPMD-inserted collectives
+    if int(np.prod(cfg.mesh_shape)) > 1:
+        from asvd4llm_tpu.parallel.mesh import make_mesh, shard_params
+        mesh = make_mesh(tuple(cfg.mesh_shape))
+        params = shard_params(params, spec, mesh)
+        log.info("params sharded over mesh %s", dict(mesh.shape))
+
     cache = ArtifactCache(cfg.cache_dir, enabled=cfg.use_cache)
     with phase("calib_data"):
         if cfg.calib_dataset == "selfgen":

@@ -177,3 +177,44 @@ def test_sensitivity_cache_roundtrip(tiny, tmp_path):
     assert s1.keys() == s2.keys()
     for k in s1:
         assert s1[k] == pytest.approx(s2[k])
+
+
+def test_ppl_target_mode(tiny):
+    """ppl-target search: decomposes trial configs and evaluates calib PPL
+    (ref binary_search.py:64-87). The chosen config's PPL should respect
+    the target direction."""
+    params, spec = tiny
+    loader = _loader(2, L=32, seed=9)
+    ids = np.concatenate([b["input_ids"] for b in loader], 0)
+    from asvd4llm_tpu.eval.ppl import evaluate_perplexity
+    base_ppl = evaluate_perplexity(params, spec, ids)
+
+    from asvd4llm_tpu.calib.sensitivity import calib_sensitivity_ppl
+    cfg_s = ASVDConfig(model_id="t", ppl_target=base_ppl * 1.5,
+                       act_aware=False, n_calib_samples=2,
+                       svd_backend="exact")
+    sens = calib_sensitivity_ppl(params, spec, loader, cfg_s)
+    out, manifest = binary_search_truncation_rank(
+        params, spec, sens, loader, cfg_s)
+    # must compress something and stay a working model
+    assert manifest
+    final = evaluate_perplexity(out, spec, ids)
+    assert np.isfinite(final)
+
+
+def test_batched_ratio_scan_matches_serial(tiny):
+    """batch_ratios=True must produce identical sensitivity values to the
+    serial reference-style loop (same math, vmapped)."""
+    params, spec = tiny
+    loader = _loader(2, L=24, seed=11)
+    cfg = ASVDConfig(model_id="t", param_ratio_target=0.9,
+                     svd_backend="exact", n_calib_samples=2)
+    s_batched = calib_sensitivity_ppl(params, spec, loader, cfg,
+                                      batch_ratios=True)
+    s_serial = calib_sensitivity_ppl(params, spec, loader, cfg,
+                                     batch_ratios=False)
+    assert s_batched.keys() == s_serial.keys()
+    for name in s_batched:
+        for r in s_batched[name]:
+            assert s_batched[name][r] == pytest.approx(s_serial[name][r],
+                                                       rel=1e-4), (name, r)
