@@ -63,3 +63,42 @@ def test_prefill_falls_back_to_xla():
     ref = lowrank_apply(x, a, b, None)
     out = fused_lowrank_apply(x, a, b, None, interpret=True, max_tokens=256)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_q8_matches_dequantized_xla():
+    from asvd4llm_tpu.ops.quant import quantize_to_int, dequantize
+    from asvd4llm_tpu.ops.pallas_lowrank import fused_lowrank_apply_q8
+
+    key = jax.random.PRNGKey(10)
+    M, K, N, R = 8, 384, 256, 64
+    x = jax.random.normal(key, (M, K), dtype=jnp.float32)
+    a = jax.random.normal(jax.random.PRNGKey(11), (N, R)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(12), (R, K)) * 0.1
+    bias = jax.random.normal(jax.random.PRNGKey(13), (N,))
+    a8, a_qp = quantize_to_int(a, 8)
+    b8, b_qp = quantize_to_int(b, 8)
+
+    ref = lowrank_apply(x, dequantize(a8, a_qp), dequantize(b8, b_qp), bias)
+    out = fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+    # and it's close to the unquantized op (int8 error only)
+    full = lowrank_apply(x, a.astype(jnp.float32), b.astype(jnp.float32), bias)
+    rel = float(jnp.linalg.norm(out - full) / jnp.linalg.norm(full))
+    assert rel < 0.05
+
+
+def test_fused_q8_unaligned_rank():
+    from asvd4llm_tpu.ops.quant import quantize_to_int, dequantize
+    from asvd4llm_tpu.ops.pallas_lowrank import fused_lowrank_apply_q8
+
+    M, K, N, R = 3, 200, 130, 50
+    x = jax.random.normal(jax.random.PRNGKey(14), (M, K))
+    a = jax.random.normal(jax.random.PRNGKey(15), (N, R)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(16), (R, K)) * 0.1
+    a8, a_qp = quantize_to_int(a, 8)
+    b8, b_qp = quantize_to_int(b, 8)
+    ref = lowrank_apply(x, dequantize(a8, a_qp), dequantize(b8, b_qp), None)
+    out = fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
