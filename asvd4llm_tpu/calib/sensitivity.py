@@ -119,7 +119,7 @@ def _ppl_multi_ratio(params, spec, ids, name, w_hats, limit):
 
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None,
-                          batch_ratios: bool = True) -> dict:
+                          batch_ratios: bool | None = None) -> dict:
     """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
     (ref sensitivity.py:10-61). Always act-aware (ref :50).
 
@@ -132,6 +132,8 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
             log.info("sensitivity cache hit (%s)", cfg.sensitivity_key())
             return hit
 
+    if batch_ratios is None:
+        batch_ratios = getattr(cfg, "sensitivity_batch_ratios", True)
     grid = KV_RATIO_GRID if cfg.compress_kv_cache else WEIGHT_RATIO_GRID
     input_ids = np.concatenate(
         [np.asarray(b["input_ids"]) for b in calib_loader], axis=0)

@@ -38,9 +38,20 @@ def _norm_leaf(sd, prefix, dtype, bias=True):
 
 
 def _linear_leaf(sd, prefix, dtype):
-    w = _t2j(sd[f"{prefix}.weight"], dtype)
-    b = _t2j(sd[f"{prefix}.bias"], dtype) if f"{prefix}.bias" in sd else None
-    return dense_leaf(w, b)
+    if f"{prefix}.weight" in sd:
+        w = _t2j(sd[f"{prefix}.weight"], dtype)
+        b = _t2j(sd[f"{prefix}.bias"], dtype) if f"{prefix}.bias" in sd else None
+        return dense_leaf(w, b)
+    # factored checkpoint (ASVD repo naming: <name>.{A,B}Linear.weight,
+    # bias on ALinear — ref modeling_asvd_llama.py:5-12 / our hf_repo.py)
+    if f"{prefix}.ALinear.weight" in sd:
+        from asvd4llm_tpu.models.registry import lowrank_leaf
+        a = _t2j(sd[f"{prefix}.ALinear.weight"], dtype)
+        b_factor = _t2j(sd[f"{prefix}.BLinear.weight"], dtype)
+        bias = _t2j(sd[f"{prefix}.ALinear.bias"], dtype) \
+            if f"{prefix}.ALinear.bias" in sd else None
+        return lowrank_leaf(a, b_factor, bias)
+    raise KeyError(f"no weights for linear {prefix!r} in state dict")
 
 
 # HF param-name layout per family: (layer_prefix_fmt, linear key -> HF subpath,

@@ -102,8 +102,13 @@ def gemma2_spec(**kw) -> DecoderSpec:
 def spec_from_hf_config(config) -> DecoderSpec:
     """Build a DecoderSpec from a transformers PretrainedConfig."""
     mt = getattr(config, "model_type", "")
-    if mt == "llama" or mt == "mistral":
+    if mt in ("llama", "mistral", "qwen2"):
+        # mistral: sliding-window attention on EVERY layer; qwen2: q/k/v
+        # biases (picked up from the state dict by the loader)
+        sliding = getattr(config, "sliding_window", None) or 0
         return llama_spec(
+            sliding_window=sliding if mt == "mistral" else 0,
+            sliding_pattern=1,
             vocab_size=config.vocab_size,
             hidden_size=config.hidden_size,
             intermediate_size=config.intermediate_size,

@@ -138,9 +138,22 @@ def write_results(cfg: ASVDConfig, results: dict, manifest=None):
         f.write(json.dumps(rec) + "\n")
 
 
+def _enable_compilation_cache(cache_dir: str):
+    """Persistent XLA compilation cache — compiles through the TPU tunnel
+    cost minutes, and the sensitivity scan compiles once per layer; the
+    cache makes every later run (and every sweep point) reuse them."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cache_dir, "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # older jax versions
+        log.debug("compilation cache unavailable: %s", e)
+
+
 def run(cfg: ASVDConfig, *, allow_synthetic_fallback=False) -> dict:
     """Full pipeline from a model id / local checkpoint path."""
     np.random.seed(cfg.seed)
+    _enable_compilation_cache(cfg.cache_dir)
     from asvd4llm_tpu.models.loader import load_model
     params, spec, tokenizer = load_model(cfg.model_id, dtype=cfg.eval_dtype)
 

@@ -78,3 +78,24 @@ def test_hf_repo_roundtrip_through_transformers(compressed, tmp_path):
         ref = loaded(torch.from_numpy(ids.copy())).logits.numpy()
     ours = np.asarray(forward(params, jnp.asarray(ids), spec))
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_load_factored_hf_repo_back_into_pytree(compressed, tmp_path):
+    """An ASVD-compressed HF repo (ALinear/BLinear state dict naming) loads
+    back into our params with low-rank leaves intact — interop with both
+    our exports and reference-produced checkpoints."""
+    import jax.numpy as jnp
+    from asvd4llm_tpu.models.loader import load_model_native
+    from asvd4llm_tpu.models.registry import is_lowrank, get_linear
+
+    hf_config, params, spec, manifest = compressed
+    repo = str(tmp_path / "repo2")
+    export_hf_repo(repo, params, spec, manifest, hf_config=hf_config)
+
+    p2, spec2 = load_model_native(repo, dtype=jnp.float32)
+    for name in manifest:
+        assert is_lowrank(get_linear(p2, spec2, name)), name
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 128, size=(1, 9)))
+    np.testing.assert_allclose(np.asarray(forward(p2, ids, spec2)),
+                               np.asarray(forward(params, ids, spec)),
+                               atol=1e-5)

@@ -170,3 +170,39 @@ def test_abs_max_stats():
     assert all(v.shape == (leaf_shape(get_linear(params, spec, k))[1],)
                for k, v in s.items())
     assert all(bool((v >= 0).all()) for v in s.items().__iter__().__next__()[1:])
+
+
+def test_mistral_sliding_window_parity():
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=128, sliding_window=8,
+        attn_implementation="eager")
+    torch.manual_seed(3)
+    model = transformers.MistralForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    assert spec.sliding_window == 8 and spec.layer_uses_sliding(0) \
+        and spec.layer_uses_sliding(1)
+    ids = np.random.RandomState(5).randint(0, 128, size=(1, 40))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_qwen2_bias_parity():
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=128, attn_implementation="eager")
+    torch.manual_seed(4)
+    model = transformers.Qwen2ForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    # qwen2 has q/k/v biases; loader must pick them up from the state dict
+    assert params["layers"][0]["q_proj"]["b"] is not None
+    assert params["layers"][0]["o_proj"]["b"] is None
+    ids = np.random.RandomState(6).randint(0, 128, size=(2, 20))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
