@@ -37,7 +37,9 @@ from asvd4llm_tpu.eval.ppl import evaluate_perplexity
 from asvd4llm_tpu.models.registry import (
     get_linear, iter_linears, leaf_shape, lowrank_leaf, set_linear,
 )
-from asvd4llm_tpu.ops.asvd import factorize_linear, rank_for_param_ratio
+from asvd4llm_tpu.ops.asvd import (
+    build_scaling_vector, factorize_linear, rank_for_param_ratio,
+)
 from asvd4llm_tpu.calib.sensitivity import _recomposed_dense
 
 log = logging.getLogger(__name__)
@@ -110,7 +112,6 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
             trial = params
             for name, r in ratios.items():
                 leaf = get_linear(params, spec, name)
-                from asvd4llm_tpu.ops.asvd import build_scaling_vector
                 scale = build_scaling_vector(
                     None if stats is None or not cfg.act_aware else stats.get(name),
                     None if fisher is None or not cfg.act_aware else fisher.get(name),

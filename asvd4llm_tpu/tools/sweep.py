@@ -43,6 +43,16 @@ def quantize_sweep(model_id: str) -> list[ASVDConfig]:
     return cfgs
 
 
+def kv_cache_longbench_sweep(model_id: str, ratios=None) -> list[ASVDConfig]:
+    """ref experiments/kv_cache_longbench.sh: KV sweeps evaluated on the
+    small LongBench subset."""
+    ratios = ratios or [0.8, 0.6, 0.4, 0.2]
+    return [ASVDConfig(model_id=model_id, compress_kv_cache=True,
+                       kv_cache_ratio_target=r, act_aware=True, alpha=0.5,
+                       eval_ppl="", eval_tasks="small_longbench",
+                       use_cache=True) for r in ratios]
+
+
 def calibset_sweep(model_id: str) -> list[ASVDConfig]:
     """ref experiments/calibset.sh: calibration-set ablation."""
     return [ASVDConfig(model_id=model_id, calib_dataset=ds,
@@ -61,6 +71,7 @@ def param_ratio_sweep(model_id: str, ratios=(0.95, 0.9, 0.85)
 
 PRESETS = {
     "kv_cache": kv_cache_sweep,
+    "kv_cache_longbench": kv_cache_longbench_sweep,
     "quantize": quantize_sweep,
     "calibset": calibset_sweep,
     "param_ratio": param_ratio_sweep,

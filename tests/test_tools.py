@@ -97,3 +97,34 @@ def test_phase_registry():
         pass
     rep = phase_report()
     assert rep["x"]["calls"] == 2 and rep["x"]["total_s"] >= 0
+
+
+def test_convert_reference_pt_caches(tmp_path):
+    """Reference .pt cache artifacts convert into our cache formats and are
+    picked up by the cache-hit paths."""
+    import torch
+    from asvd4llm_tpu.tools.convert_cache import (
+        convert_sensitivity, convert_stats,
+    )
+    from asvd4llm_tpu.utils.cache import ArtifactCache
+
+    # reference-style sensitivity dict {name: {ratio: ppl}}
+    sens = {"model.layers.0.self_attn.q_proj": {0.4: 12.5, 0.9: 10.1}}
+    torch.save(sens, tmp_path / "sens.pt")
+    convert_sensitivity(str(tmp_path / "sens.pt"), str(tmp_path), "k1")
+    got = ArtifactCache(str(tmp_path)).load_sensitivity("k1")
+    assert got["model.layers.0.self_attn.q_proj"][0.4] == 12.5
+
+    # reference-style stats dict {name: tensor}
+    stats = {"model.layers.0.self_attn.q_proj": torch.arange(4).float()}
+    torch.save(stats, tmp_path / "stats.pt")
+    convert_stats(str(tmp_path / "stats.pt"), str(tmp_path), "k1", "abs_mean")
+    arrs = ArtifactCache(str(tmp_path)).load_arrays("calib_abs_mean", "k1")
+    np.testing.assert_array_equal(arrs["model.layers.0.self_attn.q_proj"],
+                                  [0, 1, 2, 3])
+
+
+def test_kv_longbench_preset():
+    cfgs = PRESETS["kv_cache_longbench"]("m")
+    assert all(c.eval_tasks == "small_longbench" and c.compress_kv_cache
+               for c in cfgs)
