@@ -66,9 +66,10 @@ def init_caches(params, spec, batch: int, max_len: int, dtype=jnp.bfloat16,
     return caches
 
 
-def _apply_leaf(leaf, x):
+def _apply_leaf(leaf, x, up=False):
     if is_lowrank(leaf):
-        return lowrank_apply(x, leaf["A"], leaf["B"], leaf["b"])
+        return lowrank_apply(x, leaf["A"], leaf["B"], leaf["b"],
+                             use_pallas=up)
     return dense_apply(x, leaf["w"], leaf["b"])
 
 
@@ -89,7 +90,8 @@ def _up_k(leaf, t, B, T, KV, hd):
     return k.astype(t.dtype).reshape(B, T, KV, hd)
 
 
-def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx):
+def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
+                 up=False):
     """One-token attention (x: [B,1,H*hd]) against the cache; returns
     (attn_out, updated cache)."""
     B = x.shape[0]
@@ -97,7 +99,7 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx):
     T = (cache["tk"] if "tk" in cache else cache["k"]).shape[1]
     rep = H // KV
 
-    q = _apply_leaf(layer["q_proj"], x).reshape(B, 1, H, hd)
+    q = _apply_leaf(layer["q_proj"], x, up).reshape(B, 1, H, hd)
     cos_q = jax.lax.dynamic_slice_in_dim(cos_full, pos, 1)
     sin_q = jax.lax.dynamic_slice_in_dim(sin_full, pos, 1)
     if spec.pos_emb == "rope":
@@ -146,8 +148,8 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx):
             out = out + vb.astype(jnp.float32)[None]
         out = out.astype(x.dtype).reshape(B, 1, H * hd)
     else:  # --- dense-cache path ---
-        k_new = _apply_leaf(layer["k_proj"], x).reshape(B, 1, KV, hd)
-        v_new = _apply_leaf(layer["v_proj"], x).reshape(B, 1, KV, hd)
+        k_new = _apply_leaf(layer["k_proj"], x, up).reshape(B, 1, KV, hd)
+        v_new = _apply_leaf(layer["v_proj"], x, up).reshape(B, 1, KV, hd)
         if spec.pos_emb == "rope":
             k_new = apply_rope(k_new, cos_q, sin_q)
         k = jax.lax.dynamic_update_slice(cache["k"],
@@ -171,21 +173,22 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx):
         out = out.astype(x.dtype).reshape(B, 1, H * hd)
 
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
-    return _apply_leaf(layer[o_key], out), new_cache
+    return _apply_leaf(layer[o_key], out, up), new_cache
 
 
-def _decode_layer(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx):
+def _decode_layer(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
+                  up=False):
     if spec.family == "opt":
         residual = x
         h = apply_norm(spec, layer["ln1"], x) if spec.do_layer_norm_before else x
         attn, new_cache = _attend_step(spec, layer, h, cache, pos, cos_full,
-                                       sin_full, layer_idx)
+                                       sin_full, layer_idx, up=up)
         x = residual + attn
         if not spec.do_layer_norm_before:
             x = apply_norm(spec, layer["ln1"], x)
         residual = x
         h = apply_norm(spec, layer["ln2"], x) if spec.do_layer_norm_before else x
-        h = _apply_leaf(layer["fc2"], _activation(spec, _apply_leaf(layer["fc1"], h)))
+        h = _apply_leaf(layer["fc2"], _activation(spec, _apply_leaf(layer["fc1"], h, up)), up)
         x = residual + h
         if not spec.do_layer_norm_before:
             x = apply_norm(spec, layer["ln2"], x)
@@ -194,22 +197,22 @@ def _decode_layer(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx):
     residual = x
     h = apply_norm(spec, layer["ln1"], x)
     attn, new_cache = _attend_step(spec, layer, h, cache, pos, cos_full,
-                                   sin_full, layer_idx)
+                                   sin_full, layer_idx, up=up)
     if spec.post_attn_out_norm:
         attn = apply_norm(spec, layer["ln1_post"], attn)
     x = residual + attn
     residual = x
     h = apply_norm(spec, layer["ln2"], x)
-    gate = _activation(spec, _apply_leaf(layer["gate_proj"], h))
-    up = _apply_leaf(layer["up_proj"], h)
-    mlp = _apply_leaf(layer["down_proj"], gate * up)
+    gate = _activation(spec, _apply_leaf(layer["gate_proj"], h, up))
+    upv = _apply_leaf(layer["up_proj"], h, up)
+    mlp = _apply_leaf(layer["down_proj"], gate * upv, up)
     if spec.post_mlp_out_norm:
         mlp = apply_norm(spec, layer["ln2_post"], mlp)
     return residual + mlp, new_cache
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def decode_step(params, spec, token, caches, pos):
+@functools.partial(jax.jit, static_argnames=("spec", "use_pallas"))
+def decode_step(params, spec, token, caches, pos, use_pallas=False):
     """token: [B,1] -> (logits [B,vocab], new caches). pos: scalar int."""
     emb = params["embed_tokens"]
     x = emb[token]
@@ -225,7 +228,7 @@ def decode_step(params, spec, token, caches, pos):
     new_caches = []
     for i, layer in enumerate(params["layers"]):
         x, c = _decode_layer(spec, layer, x, caches[i], pos, cos_full,
-                             sin_full, i)
+                             sin_full, i, up=use_pallas)
         new_caches.append(c)
     if spec.final_norm and params.get("final_norm") is not None:
         x = apply_norm(spec, params["final_norm"], x)
@@ -309,7 +312,8 @@ def _attention_input_latents(params, spec, ids):
 
 def generate(params, spec, input_ids, *, max_new_tokens: int = 32,
              eos_token_id: Optional[int] = None, max_len: Optional[int] = None,
-             latent_kv: bool = False, dtype=None) -> np.ndarray:
+             latent_kv: bool = False, use_pallas: bool = False,
+             dtype=None) -> np.ndarray:
     """Greedy generation. input_ids: [B, S] -> [B, S + new]."""
     ids = jnp.asarray(np.asarray(input_ids))
     B, S = ids.shape

@@ -101,6 +101,47 @@ def scan_timer(layer_fn, weights, x, iters=SCAN_ITERS, reps=5):
     return best
 
 
+def _build_q8_layer():
+    """Int8-factor layer using the fused Pallas q8 kernel (TPU only) —
+    the quantized deployment path (factors int8 + per-row scales)."""
+    from asvd4llm_tpu.ops.pallas_lowrank import _fused_2d_q8, _round_up
+    from asvd4llm_tpu.ops.quant import quantize_to_int
+
+    key = jax.random.PRNGKey(0)
+    Hp, Ip = _round_up(H, 512), _round_up(I, 512)
+    packs = []
+    for out_f, in_f in ATTN_SHAPES + MLP_SHAPES:
+        key, k2, k3 = jax.random.split(key, 3)
+        r = rank_for_param_ratio(in_f, out_f, RATIO, RANK_ALIGN)
+        a = jax.random.normal(k2, (out_f, r)) * (r ** -0.5)
+        b = jax.random.normal(k3, (r, in_f)) * (in_f ** -0.5)
+        rp = _round_up(r, 128)
+        np_, kp = _round_up(out_f, 512), _round_up(in_f, 512)
+        a8, aq = quantize_to_int(a, 8)
+        b8, bq = quantize_to_int(b, 8)
+        packs.append((
+            jnp.pad(a8, ((0, np_ - out_f), (0, rp - r))),
+            jnp.pad(aq.scale.astype(jnp.float32), ((0, np_ - out_f), (0, 0))),
+            jnp.pad(aq.zero.astype(jnp.float32), ((0, np_ - out_f), (0, 0))),
+            jnp.pad(b8, ((0, rp - r), (0, kp - in_f))),
+            jnp.pad(bq.scale.astype(jnp.float32), ((0, rp - r), (0, 0))),
+            jnp.pad(bq.zero.astype(jnp.float32), ((0, rp - r), (0, 0))),
+            jnp.zeros((1, np_), jnp.bfloat16),
+        ))
+
+    def layer_q8(ws, x):  # x padded [Mp, Hp]
+        ap = lambda xx, t: _fused_2d_q8(xx, *t, tk=512, tn=512)
+        q = ap(x, ws[0])[:, :Hp]
+        k = ap(x, ws[1])[:, :Hp]
+        v = ap(x, ws[2])[:, :Hp]
+        h = x + ap(q + k + v, ws[3])[:, :Hp]
+        g = jax.nn.silu(ap(h, ws[4]))
+        u = ap(h, ws[5])
+        return h + ap((g * u)[:, :Ip], ws[6])[:, :Hp]
+
+    return packs, layer_q8, Hp
+
+
 def main():
     dense, lowrank = build()
     x = jax.random.normal(jax.random.PRNGKey(9), (BATCH, H), jnp.bfloat16)
@@ -108,26 +149,42 @@ def main():
     t_dense = scan_timer(_layer_dense, dense, x)
     t_lr = scan_timer(_layer_lowrank, lowrank, x)
 
+    t_q8 = None
+    if jax.default_backend() == "tpu":
+        try:
+            from asvd4llm_tpu.ops.pallas_lowrank import _round_up
+            packs, layer_q8, Hp = _build_q8_layer()
+            mp = _round_up(BATCH, 16)
+            xp = jnp.pad(x, ((0, mp - BATCH), (0, Hp - H)))
+            t_q8 = scan_timer(layer_q8, packs, xp)
+        except Exception as e:  # keep the headline metric robust
+            print(f"int8 path failed: {e}", file=sys.stderr)
+
     toks_dense = BATCH / t_dense
     toks_lr = BATCH / t_lr
 
     bytes_dense = sum(w.size for w in dense) * 2
     bytes_lr = sum(a.size + b.size for a, b in lowrank) * 2
+    detail = {
+        "dense_tokens_per_sec": round(toks_dense, 1),
+        "dense_layer_us": round(t_dense * 1e6, 1),
+        "lowrank_layer_us": round(t_lr * 1e6, 1),
+        "dense_gbps": round(bytes_dense / t_dense / 1e9, 1),
+        "lowrank_gbps": round(bytes_lr / t_lr / 1e9, 1),
+        "traffic_ratio_theory": round(bytes_dense / bytes_lr, 4),
+        "backend": jax.default_backend(),
+        "batch": BATCH,
+    }
+    if t_q8 is not None:
+        detail["int8_lowrank_layer_us"] = round(t_q8 * 1e6, 1)
+        detail["int8_lowrank_tokens_per_sec"] = round(BATCH / t_q8, 1)
+        detail["int8_vs_dense"] = round(t_dense / t_q8, 4)
     print(json.dumps({
         "metric": "llama7b_layer_decode_tokens_per_sec_lowrank_r0.85",
         "value": round(toks_lr, 1),
         "unit": "tokens/sec",
         "vs_baseline": round(toks_lr / toks_dense, 4),
-        "detail": {
-            "dense_tokens_per_sec": round(toks_dense, 1),
-            "dense_layer_us": round(t_dense * 1e6, 1),
-            "lowrank_layer_us": round(t_lr * 1e6, 1),
-            "dense_gbps": round(bytes_dense / t_dense / 1e9, 1),
-            "lowrank_gbps": round(bytes_lr / t_lr / 1e9, 1),
-            "traffic_ratio_theory": round(bytes_dense / bytes_lr, 4),
-            "backend": jax.default_backend(),
-            "batch": BATCH,
-        },
+        "detail": detail,
     }))
     return 0
 
