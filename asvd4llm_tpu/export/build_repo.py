@@ -31,8 +31,6 @@ CANONICAL = dict(alpha=0.5, scaling_method="abs_mean",
 
 def build_repo(cfg, repo_dir: str, *, native_dir: str | None = None,
                allow_synthetic_fallback: bool = False):
-    import jax.numpy as jnp
-
     from asvd4llm_tpu.export.checkpoint import save_compressed
     from asvd4llm_tpu.export.hf_repo import export_hf_repo
     from asvd4llm_tpu.models.loader import load_model
@@ -59,9 +57,7 @@ def build_repo(cfg, repo_dir: str, *, native_dir: str | None = None,
 
 
 def main(argv=None):
-    import argparse
-
-    from asvd4llm_tpu.config import ASVDConfig, config_from_args
+    from asvd4llm_tpu.config import config_from_args
 
     logging.basicConfig(level=logging.INFO)
     argv = list(sys.argv[1:] if argv is None else argv)

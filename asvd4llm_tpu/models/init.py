@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from asvd4llm_tpu.models.registry import dense_leaf, layer_linear_keys
+from asvd4llm_tpu.models.registry import dense_leaf
 from asvd4llm_tpu.models.spec import DecoderSpec
 
 

@@ -12,9 +12,6 @@ construct tiny random transformers models offline.
 
 from __future__ import annotations
 
-import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -157,8 +154,6 @@ def load_model_native(model_dir: str, dtype=jnp.bfloat16
     The fast path for big checkpoints — no torch module tree is ever
     built (unlike the reference's AutoModelForCausalLM load,
     ref asvd.py:25-27)."""
-    import json as _json
-
     from transformers import AutoConfig
 
     from asvd4llm_tpu.utils.tensorio import load_safetensors_state_dict

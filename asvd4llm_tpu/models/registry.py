@@ -16,10 +16,7 @@ read like the reference's (e.g. "model.layers.3.self_attn.q_proj",
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
-
-import jax
-import jax.numpy as jnp
+from typing import Iterator
 
 
 def dense_leaf(w, b=None) -> dict:

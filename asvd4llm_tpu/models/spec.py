@@ -9,7 +9,7 @@ decoder parameterized by this spec instead of three forked model files.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -21,8 +21,6 @@ NamedShardings; jit + GSPMD inserts the collectives:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

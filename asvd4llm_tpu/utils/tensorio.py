@@ -14,8 +14,6 @@ import json
 import logging
 import os
 import struct
-from typing import Optional
-
 import numpy as np
 
 log = logging.getLogger(__name__)
