@@ -164,6 +164,11 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
             continue
         out = set_linear(out, spec, name, lowrank_leaf(f.A, f.B, f.bias))
         manifest[name] = f.rank
+        o, i = shapes[name]
+        if cfg.compress_kv_cache and f.rank >= min(o, i):
+            log.warning("%s: rank_align=%d rounded rank to the full "
+                        "dimension (%d) — no realized KV compression for "
+                        "this layer", name, cfg.rank_align, f.rank)
         # sanity parity check against the reference rank formula
         o, i = shapes[name]
         assert f.rank == min(rank_for_param_ratio(i, o, r, cfg.rank_align), i, o)

@@ -115,3 +115,24 @@ def test_opt_init_forward(eight_devices):
     logits = forward(params, ids, spec)
     assert logits.shape == (2, 12, 128)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_pipeline_compress_on_mesh(eight_devices, tmp_path):
+    """compress() with cfg.mesh_shape=(2,4): params placed on the mesh, all
+    phases run SPMD, results match the single-device pipeline."""
+    from asvd4llm_tpu.config import ASVDConfig
+    from asvd4llm_tpu.pipeline import compress
+    from asvd4llm_tpu.models.registry import count_linear_params
+
+    params = init_params(SPEC, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cfg = ASVDConfig(model_id="mesh-demo", calib_dataset="synthetic",
+                     param_ratio_target=0.85, act_aware=True,
+                     n_calib_samples=2, seqlen=32, svd_backend="exact",
+                     cache_dir=str(tmp_path / "c1"), use_cache=False)
+    c1, m1, _ = compress(params, SPEC, None, cfg)
+
+    cfg2 = cfg.replace(mesh_shape=(2, 4), cache_dir=str(tmp_path / "c2"))
+    c2, m2, _ = compress(params, SPEC, None, cfg2)
+    assert m1.keys() == m2.keys()
+    assert all(m1[k] == m2[k] for k in m1)
+    assert count_linear_params(c1, SPEC) == count_linear_params(c2, SPEC)
