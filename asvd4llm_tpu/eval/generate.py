@@ -67,6 +67,9 @@ def init_caches(params, spec, batch: int, max_len: int, dtype=jnp.bfloat16,
 
 
 def _apply_leaf(leaf, x, up=False):
+    if "A8" in leaf:
+        from asvd4llm_tpu.models.decoder import apply_linear
+        return apply_linear(leaf, x)
     if is_lowrank(leaf):
         return lowrank_apply(x, leaf["A"], leaf["B"], leaf["b"],
                              use_pallas=up)

@@ -93,6 +93,13 @@ def apply_linear(leaf, x, *, name=None, stats=None, collect=None,
             stats[name] = contrib if prev is None else jnp.maximum(prev, contrib)
         else:
             raise ValueError(f"unknown stats method {collect!r}")
+    if "A8" in leaf:  # int8-quantized factors (deployment format)
+        from asvd4llm_tpu.ops.pallas_lowrank import fused_lowrank_apply_q8
+        from asvd4llm_tpu.ops.quant import QuantParams
+        a_qp = QuantParams(leaf["Asc"], leaf["Azp"], 255)
+        b_qp = QuantParams(leaf["Bsc"], leaf["Bzp"], 255)
+        return fused_lowrank_apply_q8(x, leaf["A8"], a_qp, leaf["B8"], b_qp,
+                                      leaf["b"])
     if is_lowrank(leaf):
         return lowrank_apply(x, leaf["A"], leaf["B"], leaf["b"],
                              use_pallas=use_pallas)

@@ -31,14 +31,30 @@ def is_lowrank(leaf: dict) -> bool:
     return "A" in leaf
 
 
+def q8_lowrank_leaf(a8, a_scale, a_zero, b8, b_scale, b_zero, bias=None
+                    ) -> dict:
+    """Int8-quantized low-rank leaf: factor codes + per-row (scale, zero).
+    The deployment format for the fused q8 Pallas decode kernel."""
+    return {"A8": a8, "Asc": a_scale, "Azp": a_zero,
+            "B8": b8, "Bsc": b_scale, "Bzp": b_zero, "b": bias}
+
+
+def is_q8_lowrank(leaf: dict) -> bool:
+    return "A8" in leaf
+
+
 def leaf_shape(leaf: dict) -> tuple[int, int]:
-    """(out_features, in_features) of either encoding."""
+    """(out_features, in_features) of any encoding."""
+    if is_q8_lowrank(leaf):
+        return leaf["A8"].shape[0], leaf["B8"].shape[1]
     if is_lowrank(leaf):
         return leaf["A"].shape[0], leaf["B"].shape[1]
     return leaf["w"].shape
 
 
 def leaf_n_params(leaf: dict) -> int:
+    if is_q8_lowrank(leaf):
+        return leaf["A8"].size + leaf["B8"].size
     if is_lowrank(leaf):
         return leaf["A"].size + leaf["B"].size
     return leaf["w"].size

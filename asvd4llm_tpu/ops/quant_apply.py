@@ -21,6 +21,28 @@ log = logging.getLogger(__name__)
 _BITS = {"rtn_int8": 8, "rtn_int6": 6, "rtn_int4": 4}
 
 
+def quantize_lowrank_factors_int8(params, spec):
+    """Deployment conversion: every low-rank leaf's factors to REAL int8
+    codes + per-row scales, dispatched at apply time to the fused q8
+    Pallas kernel. (The rtn_*/awq_* modes above are fake-quant, matching
+    the reference's evaluation methodology; this is the serve format.)"""
+    from asvd4llm_tpu.models.registry import is_lowrank, q8_lowrank_leaf
+    from asvd4llm_tpu.ops.quant import quantize_to_int
+
+    out = params
+    n = 0
+    for name, leaf in iter_linears(params, spec):
+        if not is_lowrank(leaf):
+            continue
+        a8, aq = quantize_to_int(leaf["A"], 8)
+        b8, bq = quantize_to_int(leaf["B"], 8)
+        out = set_linear(out, spec, name, q8_lowrank_leaf(
+            a8, aq.scale, aq.zero, b8, bq.scale, bq.zero, leaf["b"]))
+        n += 1
+    log.info("converted %d low-rank leaves to int8 deployment format", n)
+    return out
+
+
 def quantize_model_weights(params, spec, weight_quant: str, *, stats=None):
     if weight_quant.startswith("awq"):
         from asvd4llm_tpu.ops.awq import awq_quantize_model

@@ -77,3 +77,43 @@ def test_quantize_lowrank_factors(tiny):
     qleaf = get_linear(q, spec, name)
     assert is_lowrank(qleaf)
     assert not np.allclose(np.asarray(qleaf["A"]), np.asarray(a))
+
+
+def test_int8_deployment_leaves_forward_and_generate(tiny):
+    """Low-rank leaves convert to real-int8 deployment format; forward and
+    generation match the dequantized model."""
+    import jax
+    from asvd4llm_tpu.eval.generate import generate
+    from asvd4llm_tpu.models.decoder import forward
+    from asvd4llm_tpu.models.registry import (
+        get_linear, is_q8_lowrank, lowrank_leaf, set_linear,
+    )
+    from asvd4llm_tpu.ops.asvd import factorize_linear
+    from asvd4llm_tpu.ops.quant import QuantParams, dequantize
+    from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int8
+
+    params, spec = tiny
+    name = "model.decoder.layers.0.fc1"
+    leaf = get_linear(params, spec, name)
+    f = factorize_linear(leaf["w"], leaf["b"], 0.7, backend="exact")
+    p_lr = set_linear(params, spec, name, lowrank_leaf(f.A, f.B, f.bias))
+
+    p_q8 = quantize_lowrank_factors_int8(p_lr, spec)
+    q8 = get_linear(p_q8, spec, name)
+    assert is_q8_lowrank(q8) and q8["A8"].dtype == jnp.int8
+
+    # reference: dequantized factors through the float path
+    a = dequantize(q8["A8"], QuantParams(q8["Asc"], q8["Azp"], 255))
+    b = dequantize(q8["B8"], QuantParams(q8["Bsc"], q8["Bzp"], 255))
+    p_deq = set_linear(params, spec, name,
+                       lowrank_leaf(a.astype(jnp.float32),
+                                    b.astype(jnp.float32), f.bias))
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 12)))
+    np.testing.assert_allclose(np.asarray(forward(p_q8, ids, spec)),
+                               np.asarray(forward(p_deq, ids, spec)),
+                               atol=1e-3, rtol=1e-3)
+
+    out_q8 = generate(p_q8, spec, np.asarray(ids[:, :6]), max_new_tokens=4)
+    out_deq = generate(p_deq, spec, np.asarray(ids[:, :6]), max_new_tokens=4)
+    np.testing.assert_array_equal(out_q8, out_deq)
