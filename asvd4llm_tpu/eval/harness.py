@@ -256,8 +256,10 @@ def evaluate_tasks(params, spec, tokenizer, tasks: str, cfg,
     mean-acc summary like the reference (ref evaluate_utils.py:219-224)."""
     if tasks in ("longbench", "small_longbench"):
         from asvd4llm_tpu.eval.longbench import eval_longbench
+        # KV-compressed models generate against the realized latent cache
         return eval_longbench(params, spec, tokenizer, cfg,
-                              small=(tasks == "small_longbench"))
+                              small=(tasks == "small_longbench"),
+                              latent_kv=cfg.compress_kv_cache)
 
     engine = LoglikelihoodEngine(params, spec, max_len=cfg.seqlen)
     results: dict = {}
