@@ -235,6 +235,43 @@ def load_task(name: str, num_fewshot: int = 0):
                       gold=ex["choices"]["label"].index(ex["answerKey"]))
                 for ex in ds]
         return MCTask(name=name, docs=docs)
+    if name == "piqa":
+        ds = load_dataset("piqa")["validation"]
+        docs = [MCDoc(query=f"Question: {ex['goal']}\nAnswer:",
+                      choices=[" " + ex["sol1"], " " + ex["sol2"]],
+                      gold=int(ex["label"])) for ex in ds]
+        return MCTask(name=name, docs=docs)
+    if name == "boolq":
+        ds = load_dataset("google/boolq")["validation"]
+        docs = [MCDoc(query=f"{ex['passage']}\nQuestion: {ex['question']}?\nAnswer:",
+                      choices=[" no", " yes"], gold=int(ex["answer"]))
+                for ex in ds]
+        return MCTask(name=name, docs=docs)
+    if name in ("arc_easy", "arc_challenge"):
+        sub = "ARC-Easy" if name == "arc_easy" else "ARC-Challenge"
+        ds = load_dataset("allenai/ai2_arc", sub)["test"]
+        docs = [MCDoc(query=f"Question: {ex['question']}\nAnswer:",
+                      choices=[" " + t for t in ex["choices"]["text"]],
+                      gold=ex["choices"]["label"].index(ex["answerKey"]))
+                for ex in ds]
+        return MCTask(name=name, docs=docs)
+    if name == "winogrande":
+        ds = load_dataset("allenai/winogrande", "winogrande_xl")["validation"]
+        docs = []
+        for ex in ds:
+            # partial-evaluation form: context up to the blank per option
+            ctx, _, cont = ex["sentence"].partition("_")
+            docs.append(MCDoc(
+                query="", choices=[ctx + ex["option1"] + cont,
+                                   ctx + ex["option2"] + cont],
+                gold=int(ex["answer"]) - 1))
+        return MCTask(name=name, docs=docs)
+    if name == "hellaswag":
+        ds = load_dataset("Rowan/hellaswag")["validation"]
+        docs = [MCDoc(query=ex["ctx"],
+                      choices=[" " + e for e in ex["endings"]],
+                      gold=int(ex["label"])) for ex in ds]
+        return MCTask(name=name, docs=docs)
     raise NotImplementedError(f"task {name!r}")
 
 

@@ -62,15 +62,21 @@ def evaluate_perplexity(params, spec, dataset, limit: int = -1) -> float:
     return float(_ppl_rows_jit(params, spec, ids))
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "use_bos", "bos_token_id"))
-def _window_nll_jit(params, spec, window, use_bos=False, bos_token_id=0):
+@functools.partial(jax.jit, static_argnames=("spec", "use_bos",
+                                              "bos_token_id", "scan_layers"))
+def _window_nll_jit(params, spec, window, use_bos=False, bos_token_id=0,
+                    scan_layers=False):
     """One [1, seqlen] window -> mean-CE over the seqlen-1 shifted positions
     (ref evaluate_utils.py:158-176)."""
     batch = window
     if use_bos:
         bos = jnp.full((batch.shape[0], 1), bos_token_id, batch.dtype)
         batch = jnp.concatenate([bos, batch], axis=1)
-    hidden, _ = forward_hidden(params, batch, spec)
+    if scan_layers:
+        from asvd4llm_tpu.models.scan_forward import forward_hidden_scan
+        hidden = forward_hidden_scan(params, batch, spec)
+    else:
+        hidden, _ = forward_hidden(params, batch, spec)
     if use_bos:
         hidden = hidden[:, 1:, :]
     logits = apply_lm_head(params, spec, hidden)
@@ -88,6 +94,8 @@ def evaluate_ppl_windowed(params, spec, token_stream, seqlen: int = 2048,
     Exact reference windowing: nsamples = N // seqlen non-overlapping
     windows; with use_bos the effective window shrinks by 1
     (ref evaluate_utils.py:151-152)."""
+    from asvd4llm_tpu.models.scan_forward import can_scan
+
     toks = np.asarray(token_stream).reshape(-1)
     if use_bos:
         seqlen = seqlen - 1
@@ -95,10 +103,13 @@ def evaluate_ppl_windowed(params, spec, token_stream, seqlen: int = 2048,
     if limit is not None and 0 < limit + 1 < nsamples:
         # ref breaks AFTER evaluating window i == limit (ref :177-178)
         nsamples = limit + 1
+    # homogeneous all-dense models take the scan-layers fast path
+    # (O(1)-in-depth compile; numerically identical)
+    scan_layers = can_scan(params, spec)
     total = 0.0
     for i in range(nsamples):
         window = jnp.asarray(toks[i * seqlen:(i + 1) * seqlen][None, :])
         total += float(_window_nll_jit(params, spec, window, use_bos,
-                                       bos_token_id))
+                                       bos_token_id, scan_layers))
     # ref: exp(sum(loss*seqlen) / (n*seqlen)) == exp(mean(loss))
     return float(np.exp(total / max(nsamples, 1)))

@@ -1,0 +1,181 @@
+"""Scan-over-stacked-layers forward: O(1)-in-depth compile time.
+
+The default forward unrolls the layer loop in python — correct for
+heterogeneous (mixed dense/low-rank) models, but the compiled program
+grows with depth, and compiles through this environment's TPU tunnel cost
+minutes. For HOMOGENEOUS all-dense models (the state during calibration,
+sensitivity baselines, and raw-model evaluation — the expensive phases),
+layers can be stacked into leading-axis arrays and driven by one
+``lax.scan``: the program contains ONE layer body regardless of depth.
+
+Per-layer sliding-window alternation (gemma-2) is handled by scanning a
+per-layer boolean alongside the weights and selecting between the global
+and sliding masks inside the body, so the scan stays shape-uniform.
+
+Numerically identical to the unrolled forward (same ops, same order);
+parity-tested in tests/test_scan_forward.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from asvd4llm_tpu.models.decoder import (
+    _activation, _causal_mask, apply_lm_head, apply_norm, apply_rope,
+    rope_cos_sin,
+)
+from asvd4llm_tpu.models.registry import is_lowrank, layer_linear_keys
+from asvd4llm_tpu.ops.lowrank import dense_apply
+
+
+def can_scan(params: dict, spec) -> bool:
+    """True iff every decoder layer is all-dense with identical structure
+    (bias presence per key) — the stacked representation exists."""
+    layers = params["layers"]
+    if not layers:
+        return False
+    keys = layer_linear_keys(spec)
+    ref = layers[0]
+    for layer in layers:
+        for k in keys:
+            leaf = layer[k]
+            if is_lowrank(leaf) or "A8" in leaf:
+                return False
+            if (leaf["b"] is None) != (ref[k]["b"] is None):
+                return False
+            if leaf["w"].shape != ref[k]["w"].shape:
+                return False
+    return True
+
+
+def stack_layers(params: dict, spec) -> dict:
+    """Stack per-layer leaves into leading-axis arrays:
+    {key: {"w": [L, out, in], "b": [L, out] | None}, norm: {"w": [L, H]...}}."""
+    layers = params["layers"]
+    keys = layer_linear_keys(spec)
+    stacked: dict = {}
+    for k in keys:
+        ws = jnp.stack([l[k]["w"] for l in layers])
+        bs = None if layers[0][k]["b"] is None else \
+            jnp.stack([l[k]["b"] for l in layers])
+        stacked[k] = {"w": ws, "b": bs}
+    for nk in layers[0]:
+        if nk in keys:
+            continue
+        stacked[nk] = {
+            "w": jnp.stack([l[nk]["w"] for l in layers]),
+            "b": None if layers[0][nk]["b"] is None else
+            jnp.stack([l[nk]["b"] for l in layers]),
+        }
+    return stacked
+
+
+def _attention_scan(spec, layer, x, cos, sin, mask):
+    B, S, _ = x.shape
+    H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    q = dense_apply(x, layer["q_proj"]["w"], layer["q_proj"]["b"]).reshape(B, S, H, hd)
+    k = dense_apply(x, layer["k_proj"]["w"], layer["k_proj"]["b"]).reshape(B, S, KV, hd)
+    v = dense_apply(x, layer["v_proj"]["w"], layer["v_proj"]["b"]).reshape(B, S, KV, hd)
+    if spec.pos_emb == "rope":
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    if H != KV:
+        k = jnp.repeat(k, H // KV, axis=2)
+        v = jnp.repeat(v, H // KV, axis=2)
+    scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if spec.attn_logit_softcap > 0:
+        logits = spec.attn_logit_softcap * jnp.tanh(
+            logits / spec.attn_logit_softcap)
+    probs = jax.nn.softmax((logits + mask).astype(jnp.float32),
+                           axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(B, S, H * hd)
+    o_key = "o_proj" if "o_proj" in layer else "out_proj"
+    return dense_apply(out, layer[o_key]["w"], layer[o_key]["b"])
+
+
+def _layer_scan_body(spec, x, layer, cos, sin, mask):
+    if spec.family == "opt":
+        residual = x
+        h = apply_norm(spec, layer["ln1"], x) if spec.do_layer_norm_before else x
+        x = residual + _attention_scan(spec, layer, h, cos, sin, mask)
+        if not spec.do_layer_norm_before:
+            x = apply_norm(spec, layer["ln1"], x)
+        residual = x
+        h = apply_norm(spec, layer["ln2"], x) if spec.do_layer_norm_before else x
+        h = dense_apply(_activation(spec, dense_apply(
+            h, layer["fc1"]["w"], layer["fc1"]["b"])),
+            layer["fc2"]["w"], layer["fc2"]["b"])
+        x = residual + h
+        if not spec.do_layer_norm_before:
+            x = apply_norm(spec, layer["ln2"], x)
+        return x
+
+    residual = x
+    h = apply_norm(spec, layer["ln1"], x)
+    attn = _attention_scan(spec, layer, h, cos, sin, mask)
+    if spec.post_attn_out_norm:
+        attn = apply_norm(spec, layer["ln1_post"], attn)
+    x = residual + attn
+    residual = x
+    h = apply_norm(spec, layer["ln2"], x)
+    gate = _activation(spec, dense_apply(h, layer["gate_proj"]["w"],
+                                         layer["gate_proj"]["b"]))
+    up = dense_apply(h, layer["up_proj"]["w"], layer["up_proj"]["b"])
+    mlp = dense_apply(gate * up, layer["down_proj"]["w"],
+                      layer["down_proj"]["b"])
+    if spec.post_mlp_out_norm:
+        mlp = apply_norm(spec, layer["ln2_post"], mlp)
+    return residual + mlp
+
+
+def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None):
+    """Embeddings + lax.scan over stacked layers + final norm."""
+    B, S = input_ids.shape
+    x = params["embed_tokens"][input_ids]
+    if spec.embed_scale != 1.0:
+        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    positions = jnp.arange(S, dtype=jnp.int32)
+    if spec.pos_emb == "learned":
+        x = x + params["embed_positions"][positions + spec.pos_offset]
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
+
+    import dataclasses
+
+    L = len(params["layers"])
+    # per-layer sliding flag -> select between the two masks inside the body
+    no_sliding_spec = dataclasses.replace(spec, sliding_window=0)
+    global_mask = _causal_mask(no_sliding_spec, 0, positions, positions,
+                               pad_mask)
+    sliding_idx = next((i for i in range(L) if spec.layer_uses_sliding(i)),
+                       None)
+    sliding_mask = global_mask if sliding_idx is None else \
+        _causal_mask(spec, sliding_idx, positions, positions, pad_mask)
+    flags = jnp.asarray([spec.layer_uses_sliding(i) for i in range(L)])
+
+    stacked = stack_layers(params, spec)
+
+    def body(x, scanned):
+        layer, sliding = scanned
+        mask = jnp.where(sliding, sliding_mask, global_mask)
+        return _layer_scan_body(spec, x, layer, cos, sin, mask), None
+
+    x, _ = jax.lax.scan(body, x, (stacked, flags))
+    if spec.final_norm and params.get("final_norm") is not None:
+        x = apply_norm(spec, params["final_norm"], x)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def forward_scan(params, input_ids, spec):
+    """Full scan-layers forward -> logits [B, S, V] float32."""
+    hidden = forward_hidden_scan(params, input_ids, spec)
+    return apply_lm_head(params, spec, hidden)
