@@ -288,15 +288,19 @@ def expand_tasks(tasks: str) -> list[str]:
 
 def evaluate_tasks(params, spec, tokenizer, tasks: str, cfg,
                    num_fewshot: int = 0, limit: int = -1,
-                   task_objects: Optional[list] = None) -> dict:
+                   task_objects: Optional[list] = None,
+                   longbench_examples: Optional[dict] = None) -> dict:
     """Evaluate named tasks (or pre-built task objects); appends the
-    mean-acc summary like the reference (ref evaluate_utils.py:219-224)."""
+    mean-acc summary like the reference (ref evaluate_utils.py:219-224).
+    longbench_examples: optional {dataset: examples} injection for offline
+    smoke runs."""
     if tasks in ("longbench", "small_longbench"):
         from asvd4llm_tpu.eval.longbench import eval_longbench
         # KV-compressed models generate against the realized latent cache
         return eval_longbench(params, spec, tokenizer, cfg,
                               small=(tasks == "small_longbench"),
-                              latent_kv=cfg.compress_kv_cache)
+                              latent_kv=cfg.compress_kv_cache,
+                              examples_by_dataset=longbench_examples)
 
     engine = LoglikelihoodEngine(params, spec, max_len=cfg.seqlen)
     results: dict = {}
