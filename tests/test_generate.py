@@ -123,3 +123,61 @@ def test_eos_early_stop(tiny):
     prompt = np.asarray([[1, 2, 3]])
     out = generate(params, spec, prompt, max_new_tokens=20, eos_token_id=None)
     assert out.shape[1] == 23
+
+
+def test_mistral_sliding_generate_matches_torch():
+    """Decode-path sliding-window masking vs torch generate (prompt longer
+    than the window so the mask actually truncates)."""
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=128, sliding_window=6,
+        attn_implementation="eager")
+    torch.manual_seed(7)
+    model = transformers.MistralForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    prompt = np.random.RandomState(8).randint(0, 128, size=(1, 16))
+    with torch.no_grad():
+        ref = model.generate(torch.from_numpy(prompt.copy()),
+                             max_new_tokens=6, do_sample=False,
+                             pad_token_id=0).numpy()
+    ours = generate(params, spec, prompt, max_new_tokens=6)
+    np.testing.assert_array_equal(ours[:, :ref.shape[1]], ref)
+
+
+def test_gemma2_generate_matches_torch():
+    """Gemma-2 decode: alternating sliding windows + softcaps + GQA +
+    post-norms through the cache path."""
+    cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128, sliding_window=6,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        query_pre_attn_scalar=16, attn_implementation="eager")
+    torch.manual_seed(9)
+    model = transformers.Gemma2ForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    prompt = np.random.RandomState(10).randint(0, 128, size=(1, 12))
+    with torch.no_grad():
+        ref = model.generate(torch.from_numpy(prompt.copy()),
+                             max_new_tokens=5, do_sample=False,
+                             pad_token_id=0).numpy()
+    ours = generate(params, spec, prompt, max_new_tokens=5)
+    np.testing.assert_array_equal(ours[:, :ref.shape[1]], ref)
+
+
+def test_opt_generate_matches_torch():
+    cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=2, max_position_embeddings=64,
+        word_embed_proj_dim=32)
+    torch.manual_seed(11)
+    model = transformers.OPTForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    prompt = np.random.RandomState(12).randint(2, 128, size=(1, 8))
+    with torch.no_grad():
+        ref = model.generate(torch.from_numpy(prompt.copy()),
+                             max_new_tokens=5, do_sample=False,
+                             pad_token_id=1).numpy()
+    ours = generate(params, spec, prompt, max_new_tokens=5)
+    np.testing.assert_array_equal(ours[:, :ref.shape[1]], ref)
