@@ -57,7 +57,10 @@ def _fisher_step(params, weights, ids, spec):
 
     def loss_fn(ws):
         p = _rebuild(params, spec, ws)
-        hidden, _ = forward_hidden(p, inputs, spec)
+        # remat: recompute layer activations in the backward instead of
+        # storing them — the full-model backward is the memory peak of the
+        # whole pipeline (SURVEY §7.3 "Fisher memory")
+        hidden, _ = forward_hidden(p, inputs, spec, remat=True)
         logits = apply_lm_head(p, spec, hidden)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)

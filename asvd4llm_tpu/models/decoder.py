@@ -237,7 +237,7 @@ def _opt_layer(spec, layer, x, layer_idx, cos, sin, mask, *, la,
 
 def forward_hidden(params, input_ids, spec, *, positions=None, pad_mask=None,
                    stats=None, collect=None, use_pallas=False, caches=None,
-                   cache_pos=0):
+                   cache_pos=0, remat=False):
     """Embeddings + all decoder layers + final norm -> hidden states
     [B, S, hidden]. (= reference's ``lm.model.model(batch)``,
     evaluate_utils.py:163.)
@@ -267,11 +267,23 @@ def forward_hidden(params, input_ids, spec, *, positions=None, pad_mask=None,
     for i, layer in enumerate(params["layers"]):
         mask = _causal_mask(spec, i, positions, k_pos, pad_mask)
         # bind per-linear names for stats collection
-        x, entry = _layer_with_names(spec, layer, x, i, cos, sin, mask,
-                                     stats=stats, collect=collect,
-                                     use_pallas=use_pallas,
-                                     cache=None if caches is None else caches[i],
-                                     cache_pos=cache_pos)
+        if remat and caches is None and stats is None:
+            # rematerialize per layer on the backward pass (Fisher of big
+            # models: trade recompute for activation memory, SURVEY §7.3)
+            def layer_fn(layer, x, mask, i=i):
+                out, _ = _layer_with_names(spec, layer, x, i, cos, sin, mask,
+                                           stats=None, collect=None,
+                                           use_pallas=use_pallas,
+                                           cache=None, cache_pos=cache_pos)
+                return out
+            x = jax.checkpoint(layer_fn)(layer, x, mask)
+            entry = None
+        else:
+            x, entry = _layer_with_names(spec, layer, x, i, cos, sin, mask,
+                                         stats=stats, collect=collect,
+                                         use_pallas=use_pallas,
+                                         cache=None if caches is None else caches[i],
+                                         cache_pos=cache_pos)
         if new_caches is not None:
             new_caches.append(entry)
 
