@@ -44,6 +44,10 @@ class ASVDConfig:
     seqlen: int = 2048
     # -- quantization --
     weight_quant: str = "none"
+    # convert low-rank factors to REAL int8 codes after compression (serve
+    # format for the fused q8 Pallas kernel; weight_quant stays fake-quant
+    # for evaluation parity with the reference)
+    deploy_int8_factors: bool = False
     # -- KV-cache compression --
     compress_kv_cache: bool = False
     kv_cache_ratio_target: float = -1.0

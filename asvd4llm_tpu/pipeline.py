@@ -95,6 +95,11 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
             compressed = quantize_model_weights(compressed, spec,
                                                 cfg.weight_quant, stats=stats)
 
+    if cfg.deploy_int8_factors:
+        from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int8
+        with phase("deploy_int8"):
+            compressed = quantize_lowrank_factors_int8(compressed, spec)
+
     artifacts = {"stats": stats, "fisher": fisher, "sensitivity": sensitivity,
                  "calib_loader": calib_loader}
     return compressed, manifest, artifacts

@@ -117,3 +117,20 @@ def test_int8_deployment_leaves_forward_and_generate(tiny):
     out_q8 = generate(p_q8, spec, np.asarray(ids[:, :6]), max_new_tokens=4)
     out_deq = generate(p_deq, spec, np.asarray(ids[:, :6]), max_new_tokens=4)
     np.testing.assert_array_equal(out_q8, out_deq)
+
+
+def test_pipeline_deploy_int8_flag(tiny, tmp_path):
+    from asvd4llm_tpu.models.registry import is_q8_lowrank, iter_linears
+    params, spec = tiny
+    cfg = ASVDConfig(
+        model_id="tiny-opt-q8", calib_dataset="synthetic",
+        param_ratio_target=0.85, act_aware=True, n_calib_samples=2,
+        seqlen=48, svd_backend="exact", cache_dir=str(tmp_path / "cache"),
+        output_dir=str(tmp_path / "out"), use_cache=False,
+        deploy_int8_factors=True)
+    compressed, manifest, _ = compress(params, spec, None, cfg)
+    q8_leaves = [n for n, l in iter_linears(compressed, spec)
+                 if is_q8_lowrank(l)]
+    assert set(q8_leaves) == set(manifest)
+    results = evaluate(compressed, spec, None, cfg.replace(eval_ppl="synthetic"))
+    assert np.isfinite(results["synthetic"])
