@@ -221,6 +221,8 @@ def decode_step(params, spec, token, caches, pos, use_pallas=False):
     x = emb[token]
     if spec.embed_scale != 1.0:
         x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    if params.get("project_in") is not None:  # OPT-350m style
+        x = dense_apply(x, params["project_in"], None)
     max_len = (caches[0]["k"] if "k" in caches[0] else caches[0]["tk"]).shape[1]
     if spec.pos_emb == "learned":
         x = x + params["embed_positions"][pos + spec.pos_offset][None, None, :]
@@ -235,6 +237,8 @@ def decode_step(params, spec, token, caches, pos, use_pallas=False):
         new_caches.append(c)
     if spec.final_norm and params.get("final_norm") is not None:
         x = apply_norm(spec, params["final_norm"], x)
+    if params.get("project_out") is not None:
+        x = dense_apply(x, params["project_out"], None)
     logits = apply_lm_head(params, spec, x)[:, 0]
     return logits, new_caches
 
@@ -289,6 +293,8 @@ def _attention_input_latents(params, spec, ids):
     x = emb[ids]
     if spec.embed_scale != 1.0:
         x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    if params.get("project_in") is not None:  # OPT-350m style
+        x = dense_apply(x, params["project_in"], None)
     S = ids.shape[1]
     positions = jnp.arange(S)
     if spec.pos_emb == "learned":

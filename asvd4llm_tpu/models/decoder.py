@@ -251,6 +251,9 @@ def forward_hidden(params, input_ids, spec, *, positions=None, pad_mask=None,
     if spec.embed_scale != 1.0:
         # gemma casts the normalizer to the embedding dtype first
         x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    if params.get("project_in") is not None:
+        # OPT-350m: word_embed_proj_dim -> hidden before positions
+        x = dense_apply(x, params["project_in"], None)
 
     if positions is None:
         positions = jnp.arange(S, dtype=jnp.int32) + cache_pos
@@ -289,6 +292,8 @@ def forward_hidden(params, input_ids, spec, *, positions=None, pad_mask=None,
 
     if spec.final_norm and params.get("final_norm") is not None:
         x = apply_norm(spec, params["final_norm"], x)
+    if params.get("project_out") is not None:
+        x = dense_apply(x, params["project_out"], None)
     return x, new_caches
 
 

@@ -51,6 +51,9 @@ class DecoderSpec:
     pos_offset: int = 0              # OPT learned embeddings offset (=2)
     do_layer_norm_before: bool = True
     final_norm: bool = True
+    # OPT-350m style: embeddings live in word_embed_proj_dim and are
+    # projected in/out of hidden_size (0 = same as hidden, no projection)
+    word_embed_proj_dim: int = 0
 
     @property
     def q_dim(self) -> int:
@@ -139,6 +142,12 @@ def spec_from_hf_config(config) -> DecoderSpec:
             act={"relu": "relu", "gelu": "gelu"}.get(
                 getattr(config, "activation_function", "relu"), "relu"),
             tie_word_embeddings=getattr(config, "tie_word_embeddings", True),
+            word_embed_proj_dim=(
+                0 if getattr(config, "word_embed_proj_dim",
+                             config.hidden_size) == config.hidden_size
+                else config.word_embed_proj_dim),
+            # OPT-350m (post-norm) has no final decoder layer norm
+            final_norm=getattr(config, "do_layer_norm_before", True),
         )
     if mt == "gemma":
         return DecoderSpec(

@@ -206,3 +206,33 @@ def test_qwen2_bias_parity():
         ref = model(torch.from_numpy(ids.copy())).logits.numpy()
     ours = np.asarray(forward(params, jnp.asarray(ids), spec))
     np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_opt_350m_style_projections_parity():
+    """OPT with word_embed_proj_dim != hidden (project_in/out, post-norm,
+    no final norm) — the opt-350m geometry."""
+    cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=48, ffn_dim=96, num_hidden_layers=2,
+        num_attention_heads=2, max_position_embeddings=64,
+        do_layer_norm_before=False, word_embed_proj_dim=24)
+    torch.manual_seed(5)
+    model = transformers.OPTForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    assert spec.word_embed_proj_dim == 24
+    assert params["project_in"].shape == (48, 24)
+    assert params["project_out"].shape == (24, 48)
+    ids = np.random.RandomState(7).randint(0, 128, size=(2, 14))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+    # and through the decode/generate path
+    from asvd4llm_tpu.eval.generate import generate
+    prompt = ids[:1, :6]
+    with torch.no_grad():
+        gref = model.generate(torch.from_numpy(prompt.copy()),
+                              max_new_tokens=4, do_sample=False,
+                              pad_token_id=1).numpy()
+    gours = generate(params, spec, prompt, max_new_tokens=4)
+    np.testing.assert_array_equal(gours[:, :gref.shape[1]], gref)
