@@ -143,6 +143,16 @@ def _build_q8_layer():
 
 
 def main():
+    # persistent compilation cache: compiles through the TPU tunnel cost
+    # minutes; a primed cache makes reruns start in seconds
+    try:
+        import os
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "cache", "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     dense, lowrank = build()
     x = jax.random.normal(jax.random.PRNGKey(9), (BATCH, H), jnp.bfloat16)
 
