@@ -126,6 +126,22 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
                                           (0, pos, 0))
         new_cache = {"tk": tk, "tv": tv}
 
+        if up and spec.pos_emb == "rope" and layer["k_proj"]["b"] is None:
+            # fused flash-decoding over the latents (one pass, K never
+            # materialized to HBM) — ops/pallas_latent_attention.py
+            from asvd4llm_tpu.ops.pallas_latent_attention import \
+                latent_decode_attention
+            out = latent_decode_attention(
+                q[:, 0], tk, tv, layer["k_proj"]["A"], layer["v_proj"]["A"],
+                cos_full, sin_full, pos, kv_heads=KV, scale=scale,
+                softcap=spec.attn_logit_softcap,
+                sliding=spec.sliding_window
+                if spec.layer_uses_sliding(layer_idx) else 0,
+                v_bias=layer["v_proj"]["b"])
+            out = out.astype(x.dtype)[:, None, :]
+            o_key = "o_proj" if "o_proj" in layer else "out_proj"
+            return _apply_leaf(layer[o_key], out, up), new_cache
+
         k = _up_k(layer["k_proj"], tk, B, T, KV, hd)
         if spec.pos_emb == "rope":
             k = apply_rope(k, cos_full, sin_full)

@@ -1,0 +1,210 @@
+"""Fused latent-KV decode attention (flash-decoding over rank-dim latents).
+
+One kernel per decode step computes, for a layer whose k/v projections are
+low-rank, everything between the query projection and the output
+projection, reading the latent caches exactly once:
+
+  for each T-tile of the latent cache:
+      K_tile   = tk_tile @ A_k^T          (up-projection, MXU)
+      K_tile   = RoPE(K_tile)             (VPU, cos/sin tile)
+      logits   = q · K_tile  (+softcap)   (MXU)
+      online softmax update (m, l)        (VPU)
+      s       += softmax_tile @ tv_tile   (absorbed V numerator, MXU)
+  out_h = (s_h / l_h) @ A_v[g(h)]^T       (tiny final up-projection)
+
+HBM traffic per step: T·(Rk + Rv) for the caches + the two up-projection
+matrices once — the unfused XLA path reads the same but materializes the
+full K [T, KV, hd] intermediate through HBM; here it lives tile-by-tile in
+VMEM. GQA is handled by batching the q·K dot over KV-head groups.
+
+Restrictions (asserted): rope positional encoding, no k-projection bias
+(llama-family k_proj has none; the v bias is folded in outside the kernel
+since softmax weights sum to 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(x, m):
+    return _cdiv(x, m) * m
+
+
+def _kernel(pos_ref, q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
+            out_ref, m_ref, l_ref, s_ref,
+            *, nT, TT, KV, rep, hd, scale, softcap, sliding):
+    """Grid: (B, nT). Scratch m/l/s persist across the T dimension and are
+    reset at ti == 0 (grid is sequential, row-major: all tiles of batch b
+    run before batch b+1)."""
+    ti = pl.program_id(1)
+    H = KV * rep
+
+    @pl.when(ti == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    pos = pos_ref[0]
+
+    # 1) up-project latents to key space: [TT, Rk] @ [Rk, KV*hd]
+    k_flat = jax.lax.dot_general(
+        tk_ref[0], ak_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [TT, KV*hd]
+
+    # 2) RoPE (rotate-half layout) with this tile's cos/sin
+    k3 = k_flat.reshape(TT, KV, hd)
+    cos = cos_ref[:].reshape(TT, 1, hd)
+    sin = sin_ref[:].reshape(TT, 1, hd)
+    k1, k2 = k3[..., :hd // 2], k3[..., hd // 2:]
+    k_rot = jnp.concatenate([-k2, k1], axis=-1)
+    k3 = k3 * cos + k_rot * sin                          # f32 [TT, KV, hd]
+
+    # 3) q·K with GQA group batching: q [KV, rep, hd] x k [TT, KV, hd]
+    q = q_ref[0].astype(jnp.float32).reshape(KV, rep, hd)
+    logits = jax.lax.dot_general(
+        q, k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+        preferred_element_type=jnp.float32)              # [KV, rep, TT]
+    logits = logits.reshape(H, TT) * scale
+    if softcap > 0:
+        logits = softcap * jnp.tanh(logits / softcap)
+
+    # 4) causal (+ sliding) mask over absolute key positions
+    k_pos = ti * TT + jax.lax.broadcasted_iota(jnp.int32, (1, TT), 1)
+    allow = k_pos <= pos
+    if sliding > 0:
+        allow &= k_pos > pos - sliding
+    logits = jnp.where(allow, logits, -1e30)
+
+    # 5) online softmax update
+    m_prev = m_ref[:, 0]                                  # [H]
+    m_new = jnp.maximum(m_prev, logits.max(axis=1))
+    corr = jnp.exp(m_prev - m_new)                        # [H]
+    p = jnp.exp(logits - m_new[:, None])                  # [H, TT]
+    l_ref[:, 0] = l_ref[:, 0] * corr + p.sum(axis=1)
+    m_ref[:, 0] = m_new
+
+    # 6) absorbed-V numerator: [H, TT] @ [TT, Rv]
+    s_tile = jax.lax.dot_general(
+        p.astype(tv_ref.dtype), tv_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s_ref[:] = s_ref[:] * corr[:, None] + s_tile
+
+    # 7) final normalize on the last tile (the A_v up-projection is tiny
+    # and head-grouped; it runs outside the kernel)
+    @pl.when(ti == nT - 1)
+    def _():
+        out_ref[0] = (s_ref[:] / l_ref[:, 0][:, None]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "sliding",
+                                             "kv_heads", "head_dim", "tt",
+                                             "interpret"))
+def _latent_attention_core(q_rot, tk, tv, a_k, cos_full, sin_full, pos, *,
+                           scale, softcap, sliding, kv_heads, head_dim,
+                           tt=256, interpret=False):
+    """q_rot [B, H, hd] (already rotated), tk [B, T, Rk], tv [B, T, Rv],
+    a_k [KV*hd, Rk], cos/sin [T, hd], pos scalar int ->
+    s_norm [B, H, Rv] (softmax-weighted V-latent sums)."""
+    B, H, hd = q_rot.shape
+    T = tk.shape[1]
+    Rk, Rv = tk.shape[2], tv.shape[2]
+    KV = kv_heads
+    rep = H // KV
+    nT = _cdiv(T, tt)
+    assert T % tt == 0, "caller pads T to the tile size"
+
+    grid_spec = pl.GridSpec(
+        grid=(B, nT),
+        scratch_shapes=[
+            pltpu.VMEM((H, 1), jnp.float32),   # running max
+            pltpu.VMEM((H, 1), jnp.float32),   # denom
+            pltpu.VMEM((H, Rv), jnp.float32),  # numerator
+        ],
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.SMEM),             # pos
+            pl.BlockSpec((1, H, hd), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),             # q
+            pl.BlockSpec((1, tt, Rk), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),             # tk tile
+            pl.BlockSpec((1, tt, Rv), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),             # tv tile
+            pl.BlockSpec((KV * hd, Rk), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),             # A_k
+            pl.BlockSpec((tt, hd), lambda b, t: (t, 0),
+                         memory_space=pltpu.VMEM),             # cos tile
+            pl.BlockSpec((tt, hd), lambda b, t: (t, 0),
+                         memory_space=pltpu.VMEM),             # sin tile
+        ],
+        out_specs=pl.BlockSpec((1, H, Rv), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, nT=nT, TT=tt, KV=KV, rep=rep, hd=hd,
+                          scale=scale, softcap=softcap, sliding=sliding),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Rv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (Rk * KV * hd + H * hd + H * Rv),
+            bytes_accessed=tk.size * tk.dtype.itemsize
+            + tv.size * tv.dtype.itemsize + a_k.size * a_k.dtype.itemsize,
+            transcendentals=B * H * T,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([[pos]], jnp.int32), q_rot, tk, tv, a_k, cos_full,
+      sin_full)
+
+
+def latent_decode_attention(q_rot, tk, tv, a_k, a_v, cos_full, sin_full,
+                            pos, *, kv_heads, scale, softcap=0.0, sliding=0,
+                            v_bias=None, tt=256, interpret=False):
+    """Full fused latent attention for one decode step.
+
+    q_rot [B, H, hd] rotated query; tk/tv [B, T, R*] latent caches;
+    a_k [KV*hd, Rk], a_v [KV*hd, Rv] (the low-rank A factors);
+    returns attention output [B, H*hd] (pre-o_proj)."""
+    B, H, hd = q_rot.shape
+    KV = kv_heads
+    rep = H // KV
+    T = tk.shape[1]
+    Rk, Rv = tk.shape[2], tv.shape[2]
+
+    # pad T to the tile size (masked out by the causal mask as long as
+    # pos < true T, which init_caches guarantees)
+    Tp = _round_up(T, tt)
+    if Tp != T:
+        tk = jnp.pad(tk, ((0, 0), (0, Tp - T), (0, 0)))
+        tv = jnp.pad(tv, ((0, 0), (0, Tp - T), (0, 0)))
+        cos_full = jnp.pad(cos_full, ((0, Tp - T), (0, 0)))
+        sin_full = jnp.pad(sin_full, ((0, Tp - T), (0, 0)))
+
+    s_norm = _latent_attention_core(
+        q_rot, tk, tv, a_k, cos_full, sin_full, pos, scale=scale,
+        softcap=softcap, sliding=sliding, kv_heads=KV, head_dim=hd, tt=tt,
+        interpret=interpret)                                # [B, H, Rv]
+
+    # final V up-projection, head-grouped: out_h = s_h @ A_v[g(h)]^T
+    a_v3 = a_v.reshape(KV, hd, Rv)
+    a_vq = jnp.repeat(a_v3, rep, axis=0)                    # [H, hd, Rv]
+    out = jnp.einsum("bhr,hdr->bhd", s_norm, a_vq.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    if v_bias is not None:
+        vb = jnp.repeat(v_bias.reshape(KV, hd), rep, axis=0)
+        out = out + vb.astype(jnp.float32)[None]
+    return out.reshape(B, H * hd)
