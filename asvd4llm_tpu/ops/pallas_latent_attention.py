@@ -55,7 +55,7 @@ def _kernel(pos_ref, q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         s_ref[:] = jnp.zeros_like(s_ref)
 
-    pos = pos_ref[0]
+    pos = pos_ref[0, 0]
 
     # 1) up-project latents to key space: [TT, Rk] @ [Rk, KV*hd]
     k_flat = jax.lax.dot_general(
@@ -63,21 +63,31 @@ def _kernel(pos_ref, q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [TT, KV*hd]
 
-    # 2) RoPE (rotate-half layout) with this tile's cos/sin
-    k3 = k_flat.reshape(TT, KV, hd)
-    cos = cos_ref[:].reshape(TT, 1, hd)
-    sin = sin_ref[:].reshape(TT, 1, hd)
-    k1, k2 = k3[..., :hd // 2], k3[..., hd // 2:]
-    k_rot = jnp.concatenate([-k2, k1], axis=-1)
-    k3 = k3 * cos + k_rot * sin                          # f32 [TT, KV, hd]
+    # 2) RoPE entirely in 2D (Mosaic-friendly): cos/sin arrive pre-tiled
+    # to [TT, KV*hd]; rotate-half is per-head static slicing + concat
+    halves = []
+    for g in range(KV):
+        a = k_flat[:, g * hd:g * hd + hd // 2]
+        b = k_flat[:, g * hd + hd // 2:(g + 1) * hd]
+        halves.append(-b)
+        halves.append(a)
+    k_rot = jnp.concatenate(halves, axis=1)              # [TT, KV*hd]
+    # tile cos/sin across heads IN VMEM (shipping them pre-tiled from HBM
+    # costs KV x redundant bandwidth and dominated the kernel at long T)
+    cos_t = jnp.concatenate([cos_ref[:]] * KV, axis=1)
+    sin_t = jnp.concatenate([sin_ref[:]] * KV, axis=1)
+    k_flat = k_flat * cos_t + k_rot * sin_t
 
-    # 3) q·K with GQA group batching: q [KV, rep, hd] x k [TT, KV, hd]
-    q = q_ref[0].astype(jnp.float32).reshape(KV, rep, hd)
-    logits = jax.lax.dot_general(
-        q, k3,
-        dimension_numbers=(((2,), (2,)), ((0,), (1,))),
-        preferred_element_type=jnp.float32)              # [KV, rep, TT]
-    logits = logits.reshape(H, TT) * scale
+    # 3) q·K per KV group as plain 2D dots
+    q = q_ref[0].astype(jnp.float32)                     # [H, hd]
+    group_logits = []
+    for g in range(KV):
+        qg = q[g * rep:(g + 1) * rep, :]                 # [rep, hd]
+        kg = k_flat[:, g * hd:(g + 1) * hd]              # [TT, hd]
+        group_logits.append(jax.lax.dot_general(
+            qg, kg, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))         # [rep, TT]
+    logits = jnp.concatenate(group_logits, axis=0) * scale  # [H, TT]
     if softcap > 0:
         logits = softcap * jnp.tanh(logits / softcap)
 
@@ -173,7 +183,7 @@ def _latent_attention_core(q_rot, tk, tv, a_k, cos_full, sin_full, pos, *,
 
 def latent_decode_attention(q_rot, tk, tv, a_k, a_v, cos_full, sin_full,
                             pos, *, kv_heads, scale, softcap=0.0, sliding=0,
-                            v_bias=None, tt=256, interpret=False):
+                            v_bias=None, tt=1024, interpret=False):
     """Full fused latent attention for one decode step.
 
     q_rot [B, H, hd] rotated query; tk/tv [B, T, R*] latent caches;
@@ -184,6 +194,7 @@ def latent_decode_attention(q_rot, tk, tv, a_k, a_v, cos_full, sin_full,
     rep = H // KV
     T = tk.shape[1]
     Rk, Rv = tk.shape[2], tv.shape[2]
+    tt = min(tt, _round_up(T, 128))
 
     # pad T to the tile size (masked out by the causal mask as long as
     # pos < true T, which init_caches guarantees)
@@ -195,7 +206,8 @@ def latent_decode_attention(q_rot, tk, tv, a_k, a_v, cos_full, sin_full,
         sin_full = jnp.pad(sin_full, ((0, Tp - T), (0, 0)))
 
     s_norm = _latent_attention_core(
-        q_rot, tk, tv, a_k, cos_full, sin_full, pos, scale=scale,
+        q_rot, tk, tv, a_k, cos_full.astype(jnp.float32),
+        sin_full.astype(jnp.float32), pos, scale=scale,
         softcap=softcap, sliding=sliding, kv_heads=KV, head_dim=hd, tt=tt,
         interpret=interpret)                                # [B, H, Rv]
 

@@ -55,19 +55,36 @@ def main():
     pos = T - 8
 
     results = {}
-    for mode, latent in (("dense", False), ("latent", True)):
+    modes = (("dense", False, False), ("latent", True, False),
+             ("latent_fused", True, True))
+    STEPS = 32
+    for mode, latent, fused in modes:
+        caches = init_caches(params, spec, B, T - STEPS, jnp.bfloat16,
+                             latent=latent)
+        # pad caches to T so decode positions pos..pos+STEPS stay in range
         caches = init_caches(params, spec, B, T, jnp.bfloat16, latent=latent)
-        logits, caches = decode_step(params, spec, token, caches, pos)
-        float(jnp.sum(logits))  # sync
-        reps, steps = 3, 20
+
+        # scan STEPS decode steps inside ONE jit: per-call host dispatch on
+        # this tunnel is ~3ms, which would swamp per-step device time
+        def run(params, token, caches, pos0, _fused=fused):
+            def body(carry, _):
+                tok, caches, p = carry
+                logits, caches = decode_step(params, spec, tok, caches, p,
+                                             use_pallas=_fused)
+                tok = jnp.argmax(logits, -1)[:, None].astype(tok.dtype)
+                return (tok, caches, p + 1), ()
+            (tok, caches, _), _ = jax.lax.scan(
+                body, (token, caches, pos0), None, length=STEPS)
+            return jnp.sum(tok)
+
+        run_j = jax.jit(run)
+        pos0 = jnp.int32(pos - STEPS)
+        float(run_j(params, token, caches, pos0))
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(3):
             t0 = time.perf_counter()
-            c = caches
-            for s in range(steps):
-                logits, c = decode_step(params, spec, token, c, pos)
-            float(jnp.sum(logits))
-            best = min(best, (time.perf_counter() - t0) / steps)
+            float(run_j(params, token, caches, pos0))
+            best = min(best, (time.perf_counter() - t0) / STEPS)
         results[mode] = {"step_us": round(best * 1e6, 1),
                          "cache_mb": round(cache_bytes(caches) / 2 ** 20, 1)}
     results["cache_ratio"] = round(
