@@ -277,9 +277,23 @@ def prefill_host(params, spec, ids, caches, *, latent=False):
     if not latent:
         return prefill(params, spec, ids, caches)
     B, S = ids.shape
-    # prefill is compute-bound, so run the standard dense-cache prefill for
-    # logits, then compute the latents for low-rank k/v layers in one extra
-    # jitted pass over the attention inputs
+    if all("tk" in c for c in caches):
+        # every layer is latent-cached: ONE pass computes both the logits
+        # and the latents (no dense prefill needed)
+        logits, latents = _prefill_latents_only(params, spec, jnp.asarray(
+            np.asarray(ids)))
+        out_caches = []
+        for cache, (tk, tv) in zip(caches, latents):
+            T = cache["tk"].shape[1]
+            out_caches.append({
+                "tk": jnp.pad(tk, ((0, 0), (0, T - S), (0, 0))
+                              ).astype(cache["tk"].dtype),
+                "tv": jnp.pad(tv, ((0, 0), (0, T - S), (0, 0))
+                              ).astype(cache["tv"].dtype),
+            })
+        return logits, out_caches
+    # mixed dense/latent layers: run the standard dense-cache prefill for
+    # logits + dense entries, then one extra jitted pass for the latents
     dense_caches = init_caches(params, spec, B,
                                (caches[0]["tk"] if "tk" in caches[0]
                                 else caches[0]["k"]).shape[1],
@@ -302,9 +316,25 @@ def prefill_host(params, spec, ids, caches, *, latent=False):
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
+def _prefill_latents_only(params, spec, ids):
+    """Single-pass prefill for fully-latent models: returns (last-position
+    logits, per-layer (tk, tv) latents)."""
+    latents, hidden = _forward_capture_latents(params, spec, ids)
+    logits = apply_lm_head(params, spec, hidden[:, -1:, :])[:, 0]
+    return logits, latents
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
 def _attention_input_latents(params, spec, ids):
     """Per-layer (tk, tv) latents for low-rank k/v layers over a full
-    sequence (used by latent prefill)."""
+    sequence (used by mixed dense/latent prefill)."""
+    latents, _ = _forward_capture_latents(params, spec, ids)
+    return latents
+
+
+def _forward_capture_latents(params, spec, ids):
+    """Forward pass that records each latent layer's (tk, tv) and returns
+    (latents, final hidden states)."""
     emb = params["embed_tokens"]
     x = emb[ids]
     if spec.embed_scale != 1.0:
@@ -332,7 +362,11 @@ def _attention_input_latents(params, spec, ids):
         x, _ = _layer_with_names(spec, layer, x, i, cos, sin, mask,
                                  stats=None, collect=None, use_pallas=False,
                                  cache=None, cache_pos=0)
-    return latents
+    if spec.final_norm and params.get("final_norm") is not None:
+        x = apply_norm(spec, params["final_norm"], x)
+    if params.get("project_out") is not None:
+        x = dense_apply(x, params["project_out"], None)
+    return latents, x
 
 
 def generate(params, spec, input_ids, *, max_new_tokens: int = 32,

@@ -1,0 +1,78 @@
+"""Minimal generation CLI — drive a (compressed) checkpoint end to end.
+
+Loads either a native Orbax+manifest checkpoint (export/checkpoint.py) or
+an HF-format directory (factored ALinear/BLinear repos included), then
+greedy-generates with the latent KV cache and fused kernels when the
+model is KV-compressed.
+
+Usage:
+  python -m asvd4llm_tpu.tools.serve --model <dir> --prompt "..." \
+      [--max_new_tokens 64] [--native] [--latent_kv] [--use_pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True,
+                   help="checkpoint dir (HF format, or native with --native)")
+    p.add_argument("--prompt", default="The")
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--native", action="store_true",
+                   help="load an Orbax+manifest checkpoint")
+    p.add_argument("--latent_kv", action="store_true",
+                   help="use the rank-dim latent KV cache (auto for layers "
+                        "with low-rank k/v)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas decode kernels")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="0 = greedy; >0 = multinomial sampling")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from transformers import AutoTokenizer
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+    tokenizer = AutoTokenizer.from_pretrained(args.model)
+    if args.native:
+        from asvd4llm_tpu.export.checkpoint import load_compressed
+        params, spec, _ = load_compressed(args.model, dtype=dtype)
+    else:
+        from asvd4llm_tpu.models.loader import load_model_native
+        params, spec = load_model_native(args.model, dtype=dtype)
+
+    ids = np.asarray(tokenizer.encode(args.prompt), np.int32)[None, :]
+    t0 = time.time()
+    if args.temperature > 0:
+        from asvd4llm_tpu.tools.selfgen import sample_generate
+        out = sample_generate(params, spec, ids,
+                              n_tokens=args.max_new_tokens,
+                              temperature=args.temperature)
+    else:
+        from asvd4llm_tpu.eval.generate import generate
+        out = generate(params, spec, ids,
+                       max_new_tokens=args.max_new_tokens,
+                       eos_token_id=tokenizer.eos_token_id,
+                       latent_kv=args.latent_kv, use_pallas=args.use_pallas)
+    dt = time.time() - t0
+    n_new = out.shape[1] - ids.shape[1]
+    text = tokenizer.decode(out[0].tolist())
+    print(text)
+    print(f"[{n_new} tokens in {dt:.1f}s = {n_new / dt:.1f} tok/s "
+          f"(incl. compile)]", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
