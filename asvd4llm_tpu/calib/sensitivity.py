@@ -101,18 +101,25 @@ def _ppl_multi_ratio(params, spec, ids, name, w_hats, limit):
     recomposed weight, evaluated as ONE vmapped device program — the
     candidate axis batches the whole forward, filling the MXU where a
     single calibration row would underutilize it."""
-    from asvd4llm_tpu.eval.ppl import _row_nll
+    from asvd4llm_tpu.eval.ppl import _rows_nll
 
     leaf = get_linear(params, spec, name)
+    rows = ids[:limit]
+    n, L = rows.shape
+    rb = min(4, n)
+    n_full = (n // rb) * rb
+    chunks = rows[:n_full].reshape(n // rb, rb, L)
 
     def eval_one(w_hat):
         trial = set_linear(params, spec, name,
                            dense_leaf(w_hat, leaf["b"]))
 
-        def body(carry, row):
-            return carry + _row_nll(trial, spec, row), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), ids[:limit])
-        return jnp.exp(total / limit)
+        def body(carry, chunk):
+            return carry + _rows_nll(trial, spec, chunk).sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), chunks)
+        if n_full < n:
+            total = total + _rows_nll(trial, spec, rows[n_full:]).sum()
+        return jnp.exp(total / n)
 
     return jax.vmap(eval_one)(w_hats)
 

@@ -43,23 +43,48 @@ def _row_nll(params, spec, row):
     return nll
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def _ppl_rows_jit(params, spec, ids):
-    """[n, L] -> reference ppl: exp(mean over rows of mean-CE)."""
-    def body(carry, row):
-        return carry + _row_nll(params, spec, row), None
-    total, _ = jax.lax.scan(body, jnp.float32(0.0), ids)
-    return jnp.exp(total / ids.shape[0])
+def _rows_nll(params, spec, rows):
+    """Mean next-token CE of each row in a batch [B, L] -> [B]."""
+    inputs = rows[:, :-1]
+    labels = rows[:, 1:]
+    hidden, _ = forward_hidden(params, inputs, spec)
+    logits = apply_lm_head(params, spec, hidden)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None],
+                                axis=-1)[..., 0].mean(axis=-1)
 
 
-def evaluate_perplexity(params, spec, dataset, limit: int = -1) -> float:
+@functools.partial(jax.jit, static_argnames=("spec", "row_batch"))
+def _ppl_rows_jit(params, spec, ids, row_batch=4):
+    """[n, L] -> reference ppl: exp(mean over rows of mean-CE).
+
+    Rows are processed `row_batch` at a time (the reference forwards one
+    row per step, ref evaluate_utils.py:99-104 — batching the rows is
+    numerically identical since the statistic is a per-row mean, and fills
+    the MXU far better for small models)."""
+    n, L = ids.shape
+    rb = min(row_batch, n)
+    n_full = (n // rb) * rb
+    chunks = ids[:n_full].reshape(n // rb, rb, L)
+
+    def body(carry, chunk):
+        return carry + _rows_nll(params, spec, chunk).sum(), None
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), chunks)
+    if n_full < n:  # remainder rows
+        total = total + _rows_nll(params, spec, ids[n_full:]).sum()
+    return jnp.exp(total / n)
+
+
+def evaluate_perplexity(params, spec, dataset, limit: int = -1,
+                        row_batch: int = 4) -> float:
     """dataset: [n, seqlen] int ids (rows may come from concatenated calib
     samples, ref sensitivity.py:40). limit: evaluate first `limit` rows
     (ref evaluate_utils.py:100-101)."""
     ids = jnp.asarray(np.asarray(dataset))
     if limit is not None and 0 < limit < ids.shape[0]:
         ids = ids[:limit]
-    return float(_ppl_rows_jit(params, spec, ids))
+    return float(_ppl_rows_jit(params, spec, ids, min(row_batch,
+                                                      ids.shape[0])))
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "use_bos",
