@@ -124,6 +124,49 @@ def _ppl_multi_ratio(params, spec, ids, name, w_hats, limit):
     return jax.vmap(eval_one)(w_hats)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "key", "limit"))
+def _ppl_multi_ratio_bucketed(params, spec, ids, key, target, w_hats, limit):
+    """Like _ppl_multi_ratio but with the substituted layer chosen by a
+    TRACED index: every layer whose `key` weight matches the candidate
+    shape reads ``where(i == target, w_hat, W_i)``. The jaxpr is therefore
+    identical for every layer in a (key, shape) bucket, so the scan
+    compiles once per bucket (≈7 for a uniform model) instead of once per
+    layer (224 for a 7B) — decisive when compiles cost minutes through a
+    TPU tunnel. Device cost: one extra weight-sized select per matching
+    layer, fused into the operand read by XLA."""
+    from asvd4llm_tpu.eval.ppl import _rows_nll
+
+    rows = ids[:limit]
+    n, L = rows.shape
+    rb = min(4, n)
+    n_full = (n // rb) * rb
+    chunks = rows[:n_full].reshape(n // rb, rb, L)
+
+    def eval_one(w_hat):
+        layers = []
+        for i, layer in enumerate(params["layers"]):
+            leaf = layer.get(key)
+            if leaf is not None and "w" in leaf \
+                    and leaf["w"].shape == w_hat.shape:
+                neww = jnp.where(jnp.int32(i) == target, w_hat, leaf["w"])
+                nl = dict(layer)
+                nl[key] = {"w": neww.astype(leaf["w"].dtype), "b": leaf["b"]}
+                layers.append(nl)
+            else:
+                layers.append(layer)
+        trial = dict(params)
+        trial["layers"] = layers
+
+        def body(carry, chunk):
+            return carry + _rows_nll(trial, spec, chunk).sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), chunks)
+        if n_full < n:
+            total = total + _rows_nll(trial, spec, rows[n_full:]).sum()
+        return jnp.exp(total / n)
+
+    return jax.vmap(eval_one)(w_hats)
+
+
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None,
                           batch_ratios: bool | None = None) -> dict:
@@ -171,9 +214,12 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
             continue
         limit = min(cfg.n_calib_samples, input_ids.shape[0])
         if batch_ratios:
+            from asvd4llm_tpu.models.registry import parse_linear_name
+            layer_idx, leaf_key = parse_linear_name(spec, name)
             w_hats = jnp.stack([leaves[r]["w"] for r in valid])
-            ppls = _ppl_multi_ratio(params, spec, jnp.asarray(input_ids),
-                                    name, w_hats, limit)
+            ppls = _ppl_multi_ratio_bucketed(
+                params, spec, jnp.asarray(input_ids), leaf_key,
+                jnp.int32(layer_idx), w_hats, limit)
             for ratio, ppl in zip(valid, np.asarray(ppls)):
                 sensitivity[name][ratio] = float(ppl)
                 n_pts += 1
