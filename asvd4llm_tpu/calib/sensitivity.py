@@ -124,6 +124,25 @@ def _ppl_multi_ratio(params, spec, ids, name, w_hats, limit):
     return jax.vmap(eval_one)(w_hats)
 
 
+@functools.partial(jax.jit, static_argnames=("ranks", "backend"))
+def _recompose_stack(w, scale, ranks: tuple, backend: str, key):
+    """One device program per (shape, ranks) bucket: single SVD at
+    max(ranks), every ratio's dense recomposition, and the finite flags —
+    replaces ~15 host dispatches (incl. a bool() sync per ratio) with one
+    call + one small fetch."""
+    from asvd4llm_tpu.ops.svd import truncated_svd
+
+    w32 = w.astype(jnp.float32) * scale[None, :]
+    max_rank = max(ranks)
+    u, s, vh = truncated_svd(w32, max_rank, backend=backend, key=key)
+    vh = vh / scale[None, :]
+    w_hats = jnp.stack([
+        ((u[:, :r] * s[:r][None, :]) @ vh[:r, :]).astype(w.dtype)
+        for r in ranks])
+    finite = jnp.isfinite(w_hats).all(axis=(1, 2))
+    return w_hats, finite
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "key", "limit"))
 def _ppl_multi_ratio_bucketed(params, spec, ids, key, target, w_hats, limit):
     """Like _ppl_multi_ratio but with the substituted layer chosen by a
@@ -203,27 +222,48 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
             cfg.alpha)
         sensitivity[name] = {}
         key, sub = jax.random.split(key)
-        leaves = _recomposed_dense_all_ratios(
-            leaf["w"], leaf["b"], grid, scale, cfg.rank_align,
-            cfg.svd_backend, sub)
-        valid = [r for r in grid if leaves[r] is not None]
-        for ratio in set(grid) - set(valid):
-            # rank 0 / non-finite: infinitely sensitive at this ratio
-            sensitivity[name][ratio] = float("inf")
-        if not valid:
-            continue
         limit = min(cfg.n_calib_samples, input_ids.shape[0])
         if batch_ratios:
             from asvd4llm_tpu.models.registry import parse_linear_name
+
+            out_f, in_f = leaf_shape(leaf)
+            ranks = {r: min(rank_for_param_ratio(in_f, out_f, r,
+                                                 cfg.rank_align), in_f, out_f)
+                     for r in grid}
+            valid = [r for r in grid if ranks[r] > 0]
+            for ratio in set(grid) - set(valid):
+                sensitivity[name][ratio] = float("inf")
+            if not valid:
+                continue
+            backend = cfg.svd_backend
+            if backend == "auto":
+                small = (out_f * in_f <= 1024 * 1024) or \
+                    (max(ranks.values()) >= 0.25 * min(out_f, in_f))
+                backend = "exact" if small else "randomized"
+            scale_vec = scale if scale is not None else \
+                jnp.ones((in_f,), jnp.float32)
+            w_hats, finite = _recompose_stack(
+                leaf["w"], scale_vec, tuple(ranks[r] for r in valid),
+                backend, sub)
             layer_idx, leaf_key = parse_linear_name(spec, name)
-            w_hats = jnp.stack([leaves[r]["w"] for r in valid])
             ppls = _ppl_multi_ratio_bucketed(
                 params, spec, jnp.asarray(input_ids), leaf_key,
                 jnp.int32(layer_idx), w_hats, limit)
-            for ratio, ppl in zip(valid, np.asarray(ppls)):
-                sensitivity[name][ratio] = float(ppl)
+            finite = np.asarray(finite)
+            for j, (ratio, ppl) in enumerate(zip(valid, np.asarray(ppls))):
+                sensitivity[name][ratio] = float(ppl) if finite[j] \
+                    else float("inf")
                 n_pts += 1
         else:
+            leaves = _recomposed_dense_all_ratios(
+                leaf["w"], leaf["b"], grid, scale, cfg.rank_align,
+                cfg.svd_backend, sub)
+            valid = [r for r in grid if leaves[r] is not None]
+            for ratio in set(grid) - set(valid):
+                # rank 0 / non-finite: infinitely sensitive at this ratio
+                sensitivity[name][ratio] = float("inf")
+            if not valid:
+                continue
             for ratio in valid:
                 trial = set_linear(params, spec, name, leaves[ratio])
                 ppl = evaluate_perplexity(trial, spec, input_ids,
