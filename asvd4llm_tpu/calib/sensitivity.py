@@ -95,35 +95,6 @@ def _recomposed_dense_all_ratios(w, bias, ratios, scale, rank_align,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "name", "limit"))
-def _ppl_multi_ratio(params, spec, ids, name, w_hats, limit):
-    """PPL of `len(w_hats)` model variants differing only in layer `name`'s
-    recomposed weight, evaluated as ONE vmapped device program — the
-    candidate axis batches the whole forward, filling the MXU where a
-    single calibration row would underutilize it."""
-    from asvd4llm_tpu.eval.ppl import _rows_nll
-
-    leaf = get_linear(params, spec, name)
-    rows = ids[:limit]
-    n, L = rows.shape
-    rb = min(4, n)
-    n_full = (n // rb) * rb
-    chunks = rows[:n_full].reshape(n // rb, rb, L)
-
-    def eval_one(w_hat):
-        trial = set_linear(params, spec, name,
-                           dense_leaf(w_hat, leaf["b"]))
-
-        def body(carry, chunk):
-            return carry + _rows_nll(trial, spec, chunk).sum(), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), chunks)
-        if n_full < n:
-            total = total + _rows_nll(trial, spec, rows[n_full:]).sum()
-        return jnp.exp(total / n)
-
-    return jax.vmap(eval_one)(w_hats)
-
-
 @functools.partial(jax.jit, static_argnames=("ranks", "backend"))
 def _recompose_stack(w, scale, ranks: tuple, backend: str, key):
     """One device program per (shape, ranks) bucket: single SVD at
@@ -145,7 +116,7 @@ def _recompose_stack(w, scale, ranks: tuple, backend: str, key):
 
 @functools.partial(jax.jit, static_argnames=("spec", "key", "limit"))
 def _ppl_multi_ratio_bucketed(params, spec, ids, key, target, w_hats, limit):
-    """Like _ppl_multi_ratio but with the substituted layer chosen by a
+    """Multi-ratio PPL with the substituted layer chosen by a
     TRACED index: every layer whose `key` weight matches the candidate
     shape reads ``where(i == target, w_hat, W_i)``. The jaxpr is therefore
     identical for every layer in a (key, shape) bucket, so the scan

@@ -131,10 +131,17 @@ def evaluate_ppl_windowed(params, spec, token_stream, seqlen: int = 2048,
     # homogeneous all-dense models take the scan-layers fast path
     # (O(1)-in-depth compile; numerically identical)
     scan_layers = can_scan(params, spec)
+    # batch windows per device call (exact: the metric is a mean of
+    # per-window means; the reference runs batch 1, ref :158-159)
+    wb = 4
     total = 0.0
-    for i in range(nsamples):
-        window = jnp.asarray(toks[i * seqlen:(i + 1) * seqlen][None, :])
+    i = 0
+    while i < nsamples:
+        b = min(wb, nsamples - i)
+        window = jnp.asarray(
+            toks[i * seqlen:(i + b) * seqlen].reshape(b, seqlen))
         total += float(_window_nll_jit(params, spec, window, use_bos,
-                                       bos_token_id, scan_layers))
+                                       bos_token_id, scan_layers)) * b
+        i += b
     # ref: exp(sum(loss*seqlen) / (n*seqlen)) == exp(mean(loss))
     return float(np.exp(total / max(nsamples, 1)))
