@@ -159,13 +159,19 @@ def _ppl_multi_ratio_bucketed(params, spec, ids, key, target, w_hats, limit):
 
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None,
-                          batch_ratios: bool | None = None) -> dict:
+                          batch_ratios: bool | None = None,
+                          mesh=None) -> dict:
     """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
     (ref sensitivity.py:10-61). Always act-aware (ref :50).
 
     batch_ratios=True evaluates all grid points of a layer in one vmapped
     program (identical math, candidate-batched); False reproduces the
-    serial reference loop with a single compiled evaluator."""
+    serial reference loop with a single compiled evaluator.
+
+    mesh: with a dp axis, the candidate (ratio) dimension of the batched
+    evaluator shards across data-parallel devices — the grid points of a
+    layer evaluate concurrently on different chips (the reference's
+    shell-level sweep fan-out, SURVEY §2.3, turned into SPMD)."""
     if cache is not None:
         hit = cache.load_sensitivity(cfg.sensitivity_key())
         if hit is not None:
@@ -216,6 +222,11 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
             w_hats, finite = _recompose_stack(
                 leaf["w"], scale_vec, tuple(ranks[r] for r in valid),
                 backend, sub)
+            if mesh is not None and mesh.shape.get("dp", 1) > 1 \
+                    and len(valid) % mesh.shape["dp"] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                w_hats = jax.device_put(
+                    w_hats, NamedSharding(mesh, P("dp", None, None)))
             layer_idx, leaf_key = parse_linear_name(spec, name)
             ppls = _ppl_multi_ratio_bucketed(
                 params, spec, jnp.asarray(input_ids), leaf_key,

@@ -38,6 +38,7 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
 
     # multi-chip: place params on the (dp, tp) mesh; every jitted pass
     # below then runs SPMD via GSPMD-inserted collectives
+    mesh = None
     if int(np.prod(cfg.mesh_shape)) > 1:
         from asvd4llm_tpu.parallel.mesh import make_mesh, shard_params
         mesh = make_mesh(tuple(cfg.mesh_shape))
@@ -78,7 +79,8 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
         if cfg.sensitivity_metric == "ppl":
             sensitivity = calib_sensitivity_ppl(params, spec, calib_loader,
                                                 cfg, stats=stats,
-                                                fisher=fisher, cache=cache)
+                                                fisher=fisher, cache=cache,
+                                                mesh=mesh)
         else:
             sensitivity = calib_sensitivity_stable_rank(params, spec,
                                                         calib_loader, cfg,

@@ -136,3 +136,25 @@ def test_pipeline_compress_on_mesh(eight_devices, tmp_path):
     assert m1.keys() == m2.keys()
     assert all(m1[k] == m2[k] for k in m1)
     assert count_linear_params(c1, SPEC) == count_linear_params(c2, SPEC)
+
+
+def test_sensitivity_scan_candidates_sharded_over_dp(eight_devices, tmp_path):
+    """Candidate-sharded sensitivity scan on a (2, 4) mesh matches the
+    single-device scan exactly (weight grid has 6 points; dp=2 divides it)."""
+    from asvd4llm_tpu.calib.sensitivity import calib_sensitivity_ppl
+    from asvd4llm_tpu.config import ASVDConfig
+
+    params = init_params(SPEC, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    loader = [{"input_ids": rng.randint(0, 256, size=(1, 24))}
+              for _ in range(2)]
+    cfg = ASVDConfig(model_id="t", param_ratio_target=0.9,
+                     svd_backend="exact", n_calib_samples=2)
+    s_single = calib_sensitivity_ppl(params, SPEC, loader, cfg)
+    mesh = make_mesh((2, 4))
+    sharded = shard_params(params, SPEC, mesh)
+    s_mesh = calib_sensitivity_ppl(sharded, SPEC, loader, cfg, mesh=mesh)
+    for name in s_single:
+        for r in s_single[name]:
+            assert s_mesh[name][r] == pytest.approx(s_single[name][r],
+                                                    rel=1e-4), (name, r)
