@@ -1,0 +1,90 @@
+"""Top-level integration: pipeline.run() from a local checkpoint dir, and
+sigma-fuse variants through the final decomposition."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from asvd4llm_tpu.config import ASVDConfig  # noqa: E402
+
+
+def test_pipeline_run_from_checkpoint(tmp_path, monkeypatch):
+    """The reference's full `python asvd.py` flow (ref asvd.py:14-78):
+    load -> calib -> sensitivity -> search -> eval -> result files."""
+    from asvd4llm_tpu.pipeline import run
+    from asvd4llm_tpu.utils.testing import build_tiny_checkpoint
+
+    ckpt = str(tmp_path / "ckpt")
+    build_tiny_checkpoint(ckpt, "llama", hidden=32, layers=1, heads=2)
+    monkeypatch.chdir(tmp_path)
+
+    cfg = ASVDConfig(
+        model_id=ckpt, calib_dataset="synthetic", eval_ppl="synthetic",
+        param_ratio_target=0.85, act_aware=True, n_calib_samples=2,
+        seqlen=48, svd_backend="exact", eval_dtype="float32",
+        cache_dir=str(tmp_path / "cache"), output_dir=str(tmp_path / "out"),
+        use_cache=True)
+
+    # shrink the synthetic eval stream for test speed
+    import asvd4llm_tpu.pipeline as pl
+    orig = pl.get_eval_tokens
+    monkeypatch.setattr(pl, "get_eval_tokens",
+                        lambda *a, **kw: orig(*a, **{**kw,
+                                                     "synthetic_len": 48 * 6}))
+
+    results = run(cfg, allow_synthetic_fallback=True)
+    assert np.isfinite(results["synthetic"])
+    assert os.path.exists(tmp_path / "out" / "result.txt")
+    assert os.path.exists(tmp_path / "out" / "results.jsonl")
+
+    # rerun hits every cache tier and reproduces the PPL
+    results2 = run(cfg, allow_synthetic_fallback=True)
+    assert results2["synthetic"] == pytest.approx(results["synthetic"],
+                                                  rel=1e-3)
+
+
+@pytest.mark.parametrize("fuse", ["UV", "U", "V"])
+def test_sigma_fuse_through_search(fuse):
+    """All three sigma fusions produce the same compressed forward (the
+    fusion only redistributes S between the factors, ref svd_linear.py:
+    16-24) — checked through the full binary search."""
+    import transformers
+
+    from asvd4llm_tpu.calib.search import binary_search_truncation_rank
+    from asvd4llm_tpu.models import forward, params_from_torch_model
+    from asvd4llm_tpu.models.registry import iter_linears
+
+    cfg_t = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64)
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg_t).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    loader = [{"input_ids": rng.randint(0, 128, size=(1, 16))}]
+    names = [n for n, _ in iter_linears(params, spec)]
+    sens = {n: {r: float(rng.uniform(10, 100)) for r in (0.5, 0.8)}
+            for n in names}
+
+    cfg = ASVDConfig(model_id="t", param_ratio_target=0.8, sigma_fuse=fuse,
+                     svd_backend="exact")
+    out, manifest = binary_search_truncation_rank(params, spec, sens,
+                                                  loader, cfg)
+    assert manifest
+    ids = jnp.asarray(rng.randint(0, 128, size=(1, 10)))
+    logits = forward(out, ids, spec)
+    assert bool(jnp.isfinite(logits).all())
+    # stash for cross-fuse comparison via function attribute
+    store = test_sigma_fuse_through_search.__dict__.setdefault("outs", {})
+    store[fuse] = np.asarray(logits)
+    if len(store) == 3:
+        np.testing.assert_allclose(store["U"], store["UV"], atol=1e-3,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(store["V"], store["UV"], atol=1e-3,
+                                   rtol=1e-3)
