@@ -132,7 +132,10 @@ def config_from_args(argv=None) -> ASVDConfig:
     for f in dataclasses.fields(ASVDConfig):
         name = "--" + f.name
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(name, action="store_true", default=f.default)
+            # BooleanOptionalAction also provides --no_<flag>, which
+            # default-True fields (use_cache, use_pallas, ...) need
+            p.add_argument(name, action=argparse.BooleanOptionalAction,
+                           default=f.default)
         elif f.name == "mesh_shape":
             p.add_argument(name, type=lambda s: tuple(int(x) for x in s.split(",")),
                            default=f.default)

@@ -88,3 +88,16 @@ def test_sigma_fuse_through_search(fuse):
                                    rtol=1e-3)
         np.testing.assert_allclose(store["V"], store["UV"], atol=1e-3,
                                    rtol=1e-3)
+
+
+def test_cli_bool_flags_roundtrip():
+    from asvd4llm_tpu.config import config_from_args
+    cfg = config_from_args(["--act_aware", "--no_use_cache",
+                            "--no_sensitivity_batch_ratios",
+                            "--param_ratio_target", "0.9"])
+    assert cfg.act_aware is True
+    assert cfg.use_cache is False
+    assert cfg.sensitivity_batch_ratios is False
+    assert cfg.use_pallas is True  # default preserved
+    cfg2 = config_from_args(["--param_ratio_target", "0.9"])
+    assert cfg2.use_cache is True and cfg2.act_aware is False
