@@ -92,8 +92,8 @@ def test_sigma_fuse_through_search(fuse):
 
 def test_cli_bool_flags_roundtrip():
     from asvd4llm_tpu.config import config_from_args
-    cfg = config_from_args(["--act_aware", "--no_use_cache",
-                            "--no_sensitivity_batch_ratios",
+    cfg = config_from_args(["--act_aware", "--no-use_cache",
+                            "--no-sensitivity_batch_ratios",
                             "--param_ratio_target", "0.9"])
     assert cfg.act_aware is True
     assert cfg.use_cache is False
