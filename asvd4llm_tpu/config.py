@@ -111,10 +111,12 @@ class ASVDConfig:
         "model_id", "calib_dataset", "n_calib_samples", "scaling_method",
         "seed", "use_bos", "seqlen",
     )
-    # Fields that determine the sensitivity dict (ref sensitivity.py:13)
+    # Fields that determine the sensitivity dict (ref sensitivity.py:13).
+    # svd_backend is included because exact vs randomized SVD yields
+    # (slightly) different factors and therefore different layer PPLs.
     SENSITIVITY_FIELDS = CALIB_FIELDS + (
         "alpha", "rank_align", "compress_kv_cache", "sensitivity_metric",
-        "eval_dtype",
+        "eval_dtype", "svd_backend",
     )
 
     def calib_key(self) -> str:

@@ -168,28 +168,40 @@ def get_calib_data(name: str, tokenizer, model_id: str, nsamples: int,
 def get_eval_tokens(name: str, tokenizer, cache_dir: str = "cache",
                     use_cache: bool = True, vocab_size: Optional[int] = None,
                     allow_synthetic_fallback: bool = False,
-                    synthetic_len: int = 64_000, seed: int = 0) -> np.ndarray:
+                    synthetic_len: int = 64_000, seed: int = 0,
+                    model_id: str = "") -> np.ndarray:
     """Concatenated eval token ids [1, N] (ref datautils.py:163-189;
-    wikitext2 uses test split, ptb/c4 use validation)."""
-    os.makedirs(cache_dir, exist_ok=True)
-    cache_file = os.path.join(cache_dir, f"eval_{name}_tokens.npy")
-    if use_cache and os.path.exists(cache_file):
-        return np.load(cache_file)
+    wikitext2 uses test split, ptb/c4 use validation).
 
-    if name == "synthetic":
-        assert vocab_size is not None
-        toks = synthetic_token_corpus(synthetic_len, vocab_size, seed=seed)[None, :]
-    else:
+    The cache key includes the tokenizer identity (model_id + vocab_size +
+    whether the corpus is synthetic): two models sharing a cache_dir must
+    never reuse each other's token ids (the reference keys its /tmp eval
+    cache by model name, ref evaluate_utils.py:141-147)."""
+    os.makedirs(cache_dir, exist_ok=True)
+
+    synthetic = name == "synthetic"
+    if not synthetic:
         split = "test" if name == "wikitext2" else "validation"
         try:
             text = _load_hf_text(name, split)
-            toks = np.asarray(tokenizer(text)["input_ids"])[None, :]
         except Exception as e:
             if not allow_synthetic_fallback:
                 raise
             log.warning("eval dataset %s unavailable (%s); SYNTHETIC", name, e)
-            assert vocab_size is not None
-            toks = synthetic_token_corpus(synthetic_len, vocab_size,
-                                          seed=seed)[None, :]
+            synthetic = True
+    if synthetic:
+        assert vocab_size is not None, "synthetic eval needs vocab_size"
+
+    tok_tag = model_id.replace("/", "_") if model_id else \
+        getattr(tokenizer, "name_or_path", "").replace("/", "_")
+    key = f"{tok_tag}_v{vocab_size}" + ("_synth" + str(seed) if synthetic else "")
+    cache_file = os.path.join(cache_dir, f"eval_{name}_{key}_tokens.npy")
+    if use_cache and os.path.exists(cache_file):
+        return np.load(cache_file)
+
+    if synthetic:
+        toks = synthetic_token_corpus(synthetic_len, vocab_size, seed=seed)[None, :]
+    else:
+        toks = np.asarray(tokenizer(text)["input_ids"])[None, :]
     np.save(cache_file, toks)
     return toks

@@ -393,6 +393,6 @@ def generate(params, spec, input_ids, *, max_new_tokens: int = 32,
         if step == max_new_tokens - 1:
             break
         logits, caches = decode_step(params, spec, token, caches,
-                                     S + step)
+                                     S + step, use_pallas=use_pallas)
         token = jnp.argmax(logits, axis=-1)[:, None].astype(ids.dtype)
     return np.concatenate(out, axis=1)

@@ -116,7 +116,8 @@ def evaluate(params, spec, tokenizer, cfg: ASVDConfig, *,
             toks = get_eval_tokens(ds, tokenizer, cache_dir=cfg.cache_dir,
                                    use_cache=cfg.use_cache,
                                    vocab_size=spec.vocab_size,
-                                   allow_synthetic_fallback=allow_synthetic_fallback)
+                                   allow_synthetic_fallback=allow_synthetic_fallback,
+                                   model_id=cfg.model_id)
             bos_id = getattr(tokenizer, "bos_token_id", 0) or 0
             ppl = evaluate_ppl_windowed(params, spec, toks, seqlen=cfg.seqlen,
                                         use_bos=cfg.use_bos,

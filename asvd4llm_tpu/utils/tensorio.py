@@ -127,16 +127,27 @@ class SafetensorsFile:
         self.header = json.loads(hdr)
         self.header.pop("__metadata__", None)
         self._data_start = 8 + hdr_len
+        self._file_size = file_size
 
     def keys(self):
         return list(self.header)
 
     def _raw(self, offset: int, nbytes: int) -> np.ndarray:
+        # data_offsets come from the (untrusted) JSON header: bound-check
+        # against the mapping before any copy, or a truncated/malicious
+        # file turns into an OOB read through ts_copy's memcpy.
         off = self._data_start + offset
+        if offset < 0 or nbytes < 0 or off + nbytes > self._file_size:
+            raise ValueError(
+                f"{self.path}: tensor range [{off}, {off + nbytes}) exceeds "
+                f"file size {self._file_size}")
         if self._handle:
-            ptr = self._lib.ts_ptr(self._handle, off)
             buf = np.empty((nbytes,), np.uint8)
-            self._lib.ts_copy(ptr, buf.ctypes.data, nbytes)
+            if nbytes:
+                ptr = self._lib.ts_ptr(self._handle, off)
+                if not ptr:
+                    raise ValueError(f"{self.path}: bad offset {off}")
+                self._lib.ts_copy(ptr, buf.ctypes.data, nbytes)
             return buf
         return np.asarray(self._mm[off:off + nbytes])
 
@@ -145,6 +156,15 @@ class SafetensorsFile:
         dtype_tag = info["dtype"]
         shape = tuple(info["shape"])
         b0, b1 = info["data_offsets"]
+        if not (0 <= b0 <= b1):
+            raise ValueError(f"{self.path}: bad data_offsets for {name!r}: "
+                             f"({b0}, {b1})")
+        _, itemsize = _ST_DTYPES[dtype_tag]
+        expect = int(np.prod(shape, dtype=np.int64)) * itemsize if shape else itemsize
+        if b1 - b0 != expect:
+            raise ValueError(
+                f"{self.path}: {name!r} byte range {b1 - b0} != "
+                f"shape {shape} x itemsize {itemsize}")
         raw = self._raw(b0, b1 - b0)
         if dtype_tag == "BF16":
             bits = raw.view(np.uint16)

@@ -75,3 +75,19 @@ def test_eval_tokens_synthetic(tmp_path):
     again = get_eval_tokens("synthetic", None, cache_dir=str(tmp_path),
                             vocab_size=50, synthetic_len=1000)
     np.testing.assert_array_equal(toks, again)
+
+
+def test_eval_tokens_cache_keyed_by_model(tmp_path):
+    """Two models sharing a cache_dir must not reuse each other's eval
+    token ids (round-1 advisor finding: the cache file was keyed by
+    dataset name only)."""
+    a = get_eval_tokens("synthetic", None, cache_dir=str(tmp_path),
+                        vocab_size=50, synthetic_len=500, model_id="org/modelA")
+    b = get_eval_tokens("synthetic", None, cache_dir=str(tmp_path),
+                        vocab_size=128, synthetic_len=500, model_id="org/modelB")
+    assert a.max() < 50  # modelA's cache was not served to modelB and vice versa
+    assert b.max() >= 50 or b.max() < 50 and not np.array_equal(a, b)
+    # same identity hits the cache
+    a2 = get_eval_tokens("synthetic", None, cache_dir=str(tmp_path),
+                         vocab_size=50, synthetic_len=500, model_id="org/modelA")
+    np.testing.assert_array_equal(a, a2)

@@ -181,3 +181,22 @@ def test_opt_generate_matches_torch():
                              pad_token_id=1).numpy()
     ours = generate(params, spec, prompt, max_new_tokens=5)
     np.testing.assert_array_equal(ours[:, :ref.shape[1]], ref)
+
+
+def test_generate_forwards_use_pallas(tiny, monkeypatch):
+    """generate(use_pallas=...) must reach decode_step (round-1 advisor
+    finding: the flag was accepted but dropped, silently disabling the
+    fused serving kernels through the public API)."""
+    import asvd4llm_tpu.eval.generate as gen
+    seen = []
+    real = gen.decode_step
+
+    def spy(params, spec, token, caches, pos, use_pallas=False):
+        seen.append(use_pallas)
+        return real(params, spec, token, caches, pos)  # CPU: run XLA path
+
+    _, params, spec = tiny
+    monkeypatch.setattr(gen, "decode_step", spy)
+    prompt = np.asarray([[1, 2, 3]])
+    gen.generate(params, spec, prompt, max_new_tokens=3, use_pallas=True)
+    assert seen and all(seen)

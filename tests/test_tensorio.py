@@ -97,3 +97,49 @@ def test_load_model_native_matches_torch_loader(tmp_path):
     np.testing.assert_allclose(np.asarray(forward(p_n, ids, spec_n)),
                                np.asarray(forward(p_t, ids, spec_t)),
                                atol=1e-5)
+
+
+def test_reader_rejects_out_of_range_offsets(tmp_path):
+    """Untrusted header offsets must be bound-checked before any copy
+    (round-1 advisor finding: truncated/malicious files caused OOB reads)."""
+    import json
+    import struct
+
+    def write_st(path, header, payload):
+        hdr = json.dumps(header).encode()
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(hdr)))
+            f.write(hdr)
+            f.write(payload)
+
+    # 1) tensor range past end of file (truncated payload)
+    p1 = str(tmp_path / "trunc.safetensors")
+    write_st(p1, {"w": {"dtype": "F32", "shape": [4, 4],
+                        "data_offsets": [0, 64]}}, b"\x00" * 8)
+    with SafetensorsFile(p1) as f:
+        with pytest.raises(ValueError):
+            f.tensor("w")
+
+    # 2) inverted / negative offsets
+    p2 = str(tmp_path / "bad.safetensors")
+    write_st(p2, {"w": {"dtype": "F32", "shape": [1],
+                        "data_offsets": [8, 4]}}, b"\x00" * 16)
+    with SafetensorsFile(p2) as f:
+        with pytest.raises(ValueError):
+            f.tensor("w")
+
+    # 3) byte range inconsistent with shape*itemsize
+    p3 = str(tmp_path / "short.safetensors")
+    write_st(p3, {"w": {"dtype": "F32", "shape": [4, 4],
+                        "data_offsets": [0, 8]}}, b"\x00" * 8)
+    with SafetensorsFile(p3) as f:
+        with pytest.raises(ValueError):
+            f.tensor("w")
+
+    # 4) header length past end of file
+    p4 = str(tmp_path / "hdr.safetensors")
+    with open(p4, "wb") as fh:
+        fh.write(struct.pack("<Q", 1 << 40))
+        fh.write(b"{}")
+    with pytest.raises(ValueError):
+        SafetensorsFile(p4)
