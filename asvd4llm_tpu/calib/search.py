@@ -31,6 +31,7 @@ import logging
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from asvd4llm_tpu.eval.ppl import evaluate_perplexity
@@ -40,7 +41,6 @@ from asvd4llm_tpu.models.registry import (
 from asvd4llm_tpu.ops.asvd import (
     build_scaling_vector, factorize_linear, rank_for_param_ratio,
 )
-from asvd4llm_tpu.calib.sensitivity import _recomposed_dense
 
 log = logging.getLogger(__name__)
 
@@ -87,9 +87,13 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
         "set one of --ppl_target / --param_ratio_target / "
         "--kv_cache_ratio_target (ref binary_search.py:54)")
 
-    shapes = {name: leaf_shape(leaf) for name, leaf in iter_linears(params, spec)}
+    # shapes for exactly the layers the sensitivity scan covered (which may
+    # include lm_head / project_in/out when compress_all_linears)
+    shapes = {name: leaf_shape(get_linear(params, spec, name))
+              for name in sensitivity_dict}
     numels = {name: s[0] * s[1] for name, s in shapes.items()}
     input_ids = None
+    svd_cache: dict = {}
     if cfg.ppl_target > 0:
         input_ids = np.concatenate(
             [np.asarray(b["input_ids"]) for b in calib_loader], axis=0)
@@ -99,6 +103,56 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
         for layername, r, _ in sorted_list[mid:]:
             ratios[layername] = min(ratios[layername], r)
         return ratios
+
+    def _layer_svd(name, sub):
+        """Per-layer max-rank SVD, computed once and truncated per trial —
+        the sensitivity scan's one-SVD-per-layer trick reused inside the
+        ppl-target loop (instead of one fresh SVD per layer per search
+        iteration)."""
+        ent = svd_cache.get(name)
+        if ent is not None:
+            return ent
+        from asvd4llm_tpu.ops.svd import truncated_svd
+        leaf = get_linear(params, spec, name)
+        out_f, in_f = leaf_shape(leaf)
+        # trials may request any grid ratio AND the default ratio 1.0
+        cand = [r for r in sensitivity_dict[name] if r < 1] + [1.0]
+        max_rank = max(min(rank_for_param_ratio(in_f, out_f, r,
+                                                cfg.rank_align), in_f, out_f)
+                       for r in cand)
+        scale = None
+        if cfg.act_aware:
+            scale = build_scaling_vector(
+                None if stats is None else stats.get(name),
+                None if fisher is None else fisher.get(name), cfg.alpha)
+        w32 = leaf["w"].astype(jnp.float32)
+        if scale is not None:
+            w32 = w32 * scale[None, :]
+        u, s, vh = truncated_svd(w32, max(max_rank, 1),
+                                 backend=cfg.svd_backend, key=sub)
+        if scale is not None:
+            vh = vh / scale[None, :]
+        ent = (u, s, vh, leaf)
+        svd_cache[name] = ent
+        return ent
+
+    def _trial_dense(name, r, sub):
+        """Rank-r dense recomposition from the cached factorization
+        (numerically identical to a fresh rank-r ASVD: truncating the
+        max-rank SVD at r IS the rank-r solution)."""
+        leaf0 = get_linear(params, spec, name)
+        out_f, in_f = leaf_shape(leaf0)
+        rank = rank_for_param_ratio(in_f, out_f, r, cfg.rank_align)
+        if rank <= 0:
+            return None
+        rank = min(rank, in_f, out_f)
+        u, s, vh, leaf = _layer_svd(name, sub)
+        w_hat = ((u[:, :rank] * s[:rank][None, :]) @ vh[:rank, :]
+                 ).astype(leaf["w"].dtype)
+        if not bool(jnp.isfinite(w_hat).all()):
+            return None
+        from asvd4llm_tpu.models.registry import dense_leaf
+        return dense_leaf(w_hat, leaf["b"])
 
     low, high = 0, len(sorted_list) - 1
     mid = (low + high) // 2
@@ -110,16 +164,13 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
         comp = sum(numels[n] * r for n, r in ratios.items())
         if cfg.ppl_target > 0:
             trial = params
+            # NOTE: like the reference (binary_search.py:66-79), the trial
+            # factorizes EVERY layer — including ratio-1.0 ones, where
+            # rank = numel/(in+out) is a lossy near-half-rank truncation.
+            # Only the final pass skips default-ratio layers (ref :116-117).
             for name, r in ratios.items():
-                leaf = get_linear(params, spec, name)
-                scale = build_scaling_vector(
-                    None if stats is None or not cfg.act_aware else stats.get(name),
-                    None if fisher is None or not cfg.act_aware else fisher.get(name),
-                    cfg.alpha) if cfg.act_aware else None
                 key, sub = jax.random.split(key)
-                new_leaf = _recomposed_dense(leaf["w"], leaf["b"], r, scale,
-                                             cfg.alpha, cfg.rank_align,
-                                             cfg.svd_backend, sub)
+                new_leaf = _trial_dense(name, r, sub)
                 if new_leaf is not None:
                     trial = set_linear(trial, spec, name, new_leaf)
             ppl = evaluate_perplexity(trial, spec, input_ids,
@@ -169,8 +220,12 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
             log.warning("%s: rank_align=%d rounded rank to the full "
                         "dimension (%d) — no realized KV compression for "
                         "this layer", name, cfg.rank_align, f.rank)
-        # sanity parity check against the reference rank formula
-        o, i = shapes[name]
-        assert f.rank == min(rank_for_param_ratio(i, o, r, cfg.rank_align), i, o)
+        # sanity parity check against the reference rank formula; warn, don't
+        # crash a long production run on a backend clamp
+        expect = min(rank_for_param_ratio(i, o, r, cfg.rank_align), i, o)
+        if f.rank != expect:
+            log.warning("%s: realized rank %d != reference formula %d "
+                        "(ratio %s) — manifest deviates from reference "
+                        "accounting", name, f.rank, expect, r)
     log.info("decompose time: %.2fs (%d layers)", time.time() - t0, len(manifest))
     return out, manifest

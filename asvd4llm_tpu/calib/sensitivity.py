@@ -185,7 +185,10 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
         [np.asarray(b["input_ids"]) for b in calib_loader], axis=0)
 
     sensitivity: dict = {}
-    names = [name for name, _ in iter_linears(params, spec)]
+    include_extras = getattr(cfg, "compress_all_linears", True)
+    names = [name for name, _ in iter_linears(params, spec, include_extras)]
+    from asvd4llm_tpu.models.registry import extra_linear_names
+    extras = set(extra_linear_names(params, spec)) if include_extras else set()
     t0 = time.time()
     n_pts = 0
     key = jax.random.PRNGKey(cfg.seed)
@@ -200,7 +203,10 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
         sensitivity[name] = {}
         key, sub = jax.random.split(key)
         limit = min(cfg.n_calib_samples, input_ids.shape[0])
-        if batch_ratios:
+        # extras (lm_head / project_in/out) are not decoder-layer leaves, so
+        # the traced-index bucketed evaluator can't address them; they take
+        # the serial recomposition path (1-3 layers, negligible)
+        if batch_ratios and name not in extras:
             from asvd4llm_tpu.models.registry import parse_linear_name
 
             out_f, in_f = leaf_shape(leaf)
@@ -219,11 +225,22 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                 backend = "exact" if small else "randomized"
             scale_vec = scale if scale is not None else \
                 jnp.ones((in_f,), jnp.float32)
+            ranks_tuple = tuple(ranks[r] for r in valid)
+            if mesh is not None and mesh.shape.get("dp", 1) > 1:
+                # pad the candidate axis to a dp multiple so the grid always
+                # shards (the 6-point weight grid on dp=4/8 used to silently
+                # fall back to replication); padded slots re-evaluate the
+                # last rank and are dropped below
+                dp = mesh.shape["dp"]
+                pad = (-len(ranks_tuple)) % dp
+                if pad:
+                    log.info("dp-sharding: padding %d candidates to %d "
+                             "(dp=%d)", len(ranks_tuple),
+                             len(ranks_tuple) + pad, dp)
+                ranks_tuple = ranks_tuple + (ranks_tuple[-1],) * pad
             w_hats, finite = _recompose_stack(
-                leaf["w"], scale_vec, tuple(ranks[r] for r in valid),
-                backend, sub)
-            if mesh is not None and mesh.shape.get("dp", 1) > 1 \
-                    and len(valid) % mesh.shape["dp"] == 0:
+                leaf["w"], scale_vec, ranks_tuple, backend, sub)
+            if mesh is not None and mesh.shape.get("dp", 1) > 1:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 w_hats = jax.device_put(
                     w_hats, NamedSharding(mesh, P("dp", None, None)))
@@ -274,7 +291,8 @@ def calib_sensitivity_stable_rank(params, spec, calib_loader, cfg,
             return {n: {float(r): p for r, p in d.items()} for n, d in raw.items()}
 
     buckets: dict = defaultdict(list)
-    for name, leaf in iter_linears(params, spec):
+    for name, leaf in iter_linears(params, spec,
+                                   getattr(cfg, "compress_all_linears", True)):
         if "A" in leaf:
             continue
         buckets[leaf_shape(leaf)].append((name, leaf["w"]))

@@ -34,11 +34,20 @@ class ASVDConfig:
     alpha: float = 0.5
     sigma_fuse: str = "UV"
     rank_align: int = 1
+    # walk EVERY linear like the reference's isinstance(nn.Linear) tree walk
+    # (lm_head + OPT project_in/out, ref sensitivity.py:19-33); False limits
+    # compression scope to decoder-layer projections
+    compress_all_linears: bool = True
     # -- calibration --
     n_calib_samples: int = 32
     calib_dataset: str = "wikitext2"
     scaling_method: str = "abs_mean"
     sensitivity_metric: str = "ppl"
+    # reproduce the reference's Fisher loss bit-for-bit: it passes labels
+    # already shifted by one to the HF model, which shifts again internally
+    # (ref act_aware_utils.py:25-27) — a predict-2-ahead CE. False = the
+    # intended single-shift next-token Fisher.
+    fisher_double_shift: bool = False
     seed: int = 233
     use_bos: bool = False
     seqlen: int = 2048
@@ -109,7 +118,8 @@ class ASVDConfig:
     # ref act_aware_utils.py:10,50 / datautils.py:108)
     CALIB_FIELDS = (
         "model_id", "calib_dataset", "n_calib_samples", "scaling_method",
-        "seed", "use_bos", "seqlen",
+        "seed", "use_bos", "seqlen", "compress_all_linears",
+        "fisher_double_shift",
     )
     # Fields that determine the sensitivity dict (ref sensitivity.py:13).
     # svd_backend is included because exact vs randomized SVD yields

@@ -238,7 +238,7 @@ def decode_step(params, spec, token, caches, pos, use_pallas=False):
     if spec.embed_scale != 1.0:
         x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
     if params.get("project_in") is not None:  # OPT-350m style
-        x = dense_apply(x, params["project_in"], None)
+        x = _apply_leaf(params["project_in"], x)
     max_len = (caches[0]["k"] if "k" in caches[0] else caches[0]["tk"]).shape[1]
     if spec.pos_emb == "learned":
         x = x + params["embed_positions"][pos + spec.pos_offset][None, None, :]
@@ -254,7 +254,7 @@ def decode_step(params, spec, token, caches, pos, use_pallas=False):
     if spec.final_norm and params.get("final_norm") is not None:
         x = apply_norm(spec, params["final_norm"], x)
     if params.get("project_out") is not None:
-        x = dense_apply(x, params["project_out"], None)
+        x = _apply_leaf(params["project_out"], x)
     logits = apply_lm_head(params, spec, x)[:, 0]
     return logits, new_caches
 
@@ -340,7 +340,7 @@ def _forward_capture_latents(params, spec, ids):
     if spec.embed_scale != 1.0:
         x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
     if params.get("project_in") is not None:  # OPT-350m style
-        x = dense_apply(x, params["project_in"], None)
+        x = _apply_leaf(params["project_in"], x)
     S = ids.shape[1]
     positions = jnp.arange(S)
     if spec.pos_emb == "learned":
@@ -365,8 +365,66 @@ def _forward_capture_latents(params, spec, ids):
     if spec.final_norm and params.get("final_norm") is not None:
         x = apply_norm(spec, params["final_norm"], x)
     if params.get("project_out") is not None:
-        x = dense_apply(x, params["project_out"], None)
+        x = _apply_leaf(params["project_out"], x)
     return latents, x
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "max_new_tokens",
+                                              "eos_token_id", "use_pallas"))
+def _decode_while(params, spec, token0, caches, start_pos, max_new_tokens,
+                  eos_token_id, use_pallas=False):
+    """On-device greedy decode: ONE dispatch for the whole generation via
+    lax.while_loop with EOS early exit — no per-token host round trip
+    (the host loop costs one tunnel RTT per token on TPU). Token-identical
+    to the host loop in generate(): finished rows keep greedy-decoding
+    (their later tokens are emitted exactly like the host loop emits them)
+    and the loop exits once every row has produced EOS.
+
+    Returns (tokens [B, max_new_tokens] int32, n_steps) where tokens[:, i]
+    for i < n_steps are the valid emissions."""
+    B = token0.shape[0]
+    out0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    fin0 = jnp.zeros((B,), bool)
+
+    def cond(state):
+        step, _, _, _, finished = state
+        return (step < max_new_tokens) & ~jnp.all(finished)
+
+    def body(state):
+        step, token, caches, out, finished = state
+        out = jax.lax.dynamic_update_slice(out, token.astype(jnp.int32),
+                                           (0, step))
+        if eos_token_id is not None:
+            finished = finished | (token[:, 0] == eos_token_id)
+        logits, caches = decode_step(params, spec, token, caches,
+                                     start_pos + step,
+                                     use_pallas=use_pallas)
+        token = jnp.argmax(logits, axis=-1)[:, None].astype(token.dtype)
+        return step + 1, token, caches, out, finished
+
+    step, _, _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), token0, caches, out0, fin0))
+    return out, step
+
+
+def generate_on_device(params, spec, input_ids, *, max_new_tokens: int = 32,
+                       eos_token_id: Optional[int] = None,
+                       max_len: Optional[int] = None, latent_kv: bool = False,
+                       use_pallas: bool = False, dtype=None) -> np.ndarray:
+    """Greedy generation with the whole decode loop on device
+    (lax.while_loop); output-identical to generate()."""
+    ids = jnp.asarray(np.asarray(input_ids))
+    B, S = ids.shape
+    total = max_len or (S + max_new_tokens)
+    dtype = dtype or params["embed_tokens"].dtype
+    caches = init_caches(params, spec, B, total, dtype, latent=latent_kv)
+    logits, caches = prefill_host(params, spec, ids, caches, latent=latent_kv)
+    token = jnp.argmax(logits, axis=-1)[:, None].astype(ids.dtype)
+    out, n_steps = _decode_while(params, spec, token, caches, S,
+                                 max_new_tokens, eos_token_id,
+                                 use_pallas=use_pallas)
+    n = int(n_steps)
+    return np.concatenate([np.asarray(ids), np.asarray(out)[:, :n]], axis=1)
 
 
 def generate(params, spec, input_ids, *, max_new_tokens: int = 32,

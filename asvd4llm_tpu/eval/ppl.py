@@ -108,8 +108,9 @@ def _window_nll_jit(params, spec, window, use_bos=False, bos_token_id=0,
     shift_logits = logits[:, :-1, :]
     shift_labels = window[:, 1:]
     logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, shift_labels[..., None], axis=-1).mean()
-    return nll
+    # per-window mean CE [B] (the caller weights / truncates padded rows)
+    return -jnp.take_along_axis(logp, shift_labels[..., None],
+                                axis=-1)[..., 0].mean(axis=-1)
 
 
 def evaluate_ppl_windowed(params, spec, token_stream, seqlen: int = 2048,
@@ -138,10 +139,15 @@ def evaluate_ppl_windowed(params, spec, token_stream, seqlen: int = 2048,
     i = 0
     while i < nsamples:
         b = min(wb, nsamples - i)
-        window = jnp.asarray(
-            toks[i * seqlen:(i + b) * seqlen].reshape(b, seqlen))
-        total += float(_window_nll_jit(params, spec, window, use_bos,
-                                       bos_token_id, scan_layers)) * b
+        rows = toks[i * seqlen:(i + b) * seqlen].reshape(b, seqlen)
+        if b < wb and nsamples > wb:
+            # pad the remainder batch to the full width so it reuses the
+            # already-compiled program (a fresh compile through the TPU
+            # tunnel costs minutes); padded rows are dropped below
+            rows = np.concatenate([rows, np.repeat(rows[-1:], wb - b, 0)])
+        nlls = _window_nll_jit(params, spec, jnp.asarray(rows), use_bos,
+                               bos_token_id, scan_layers)
+        total += float(np.asarray(nlls)[:b].sum())
         i += b
     # ref: exp(sum(loss*seqlen) / (n*seqlen)) == exp(mean(loss))
     return float(np.exp(total / max(nsamples, 1)))

@@ -253,7 +253,9 @@ def forward_hidden(params, input_ids, spec, *, positions=None, pad_mask=None,
         x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
     if params.get("project_in") is not None:
         # OPT-350m: word_embed_proj_dim -> hidden before positions
-        x = dense_apply(x, params["project_in"], None)
+        x = apply_linear(params["project_in"], x,
+                         name="model.decoder.project_in",
+                         stats=stats, collect=collect, use_pallas=use_pallas)
 
     if positions is None:
         positions = jnp.arange(S, dtype=jnp.int32) + cache_pos
@@ -293,7 +295,9 @@ def forward_hidden(params, input_ids, spec, *, positions=None, pad_mask=None,
     if spec.final_norm and params.get("final_norm") is not None:
         x = apply_norm(spec, params["final_norm"], x)
     if params.get("project_out") is not None:
-        x = dense_apply(x, params["project_out"], None)
+        x = apply_linear(params["project_out"], x,
+                         name="model.decoder.project_out",
+                         stats=stats, collect=collect, use_pallas=use_pallas)
     return x, new_caches
 
 
@@ -313,17 +317,26 @@ def _layer_with_names(spec, layer, x, layer_idx, cos, sin, mask, *, stats,
                           cache=cache, cache_pos=cache_pos)
 
 
-def apply_lm_head(params, spec, hidden):
+def apply_lm_head(params, spec, hidden, *, stats=None, collect=None):
     """hidden [B, S, H] -> logits [B, S, V] float32
-    (= reference's ``lm.model.lm_head(hidden)``, evaluate_utils.py:167)."""
-    if spec.tie_word_embeddings or params.get("lm_head") is None:
+    (= reference's ``lm.model.lm_head(hidden)``, evaluate_utils.py:167).
+
+    An explicit lm_head leaf (dense / low-rank / q8) always wins over the
+    tied-embedding path — compressing a tied head materializes such a leaf
+    (registry.set_linear), mirroring the reference's SVDLinear swap-in."""
+    if params.get("lm_head") is not None:
+        logits = apply_linear(params["lm_head"], hidden, name="lm_head",
+                              stats=stats, collect=collect
+                              ).astype(jnp.float32)
+    else:
+        if stats is not None and collect is not None:
+            # tied head: the reference's hook still fires on lm_head input
+            apply_linear({"w": params["embed_tokens"], "b": None}, hidden,
+                         name="lm_head", stats=stats, collect=collect)
         w = params["embed_tokens"]
         logits = jax.lax.dot_general(
             hidden, w, (((hidden.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-    else:
-        logits = dense_apply(hidden, params["lm_head"]["w"],
-                             params["lm_head"].get("b")).astype(jnp.float32)
     logits = logits.astype(jnp.float32)
     if spec.final_logit_softcap > 0:
         logits = _softcap(logits, spec.final_logit_softcap)
@@ -350,5 +363,5 @@ def forward_with_stats(params, input_ids, spec, *, collect="abs_mean",
     stats: dict = {}
     hidden, _ = forward_hidden(params, input_ids, spec, pad_mask=pad_mask,
                                stats=stats, collect=collect)
-    logits = apply_lm_head(params, spec, hidden)
+    logits = apply_lm_head(params, spec, hidden, stats=stats, collect=collect)
     return logits, stats

@@ -98,10 +98,11 @@ def params_from_state_dict(sd: dict, spec: DecoderSpec, dtype=jnp.bfloat16) -> d
     if spec.pos_emb == "learned":
         params["embed_positions"] = _t2j(
             sd[f"{layout['embed_positions']}.weight"], dtype)
-    # OPT-350m style in/out projections around the decoder stack
+    # OPT-350m style in/out projections around the decoder stack (stored as
+    # linear leaf dicts so they are compressible like any other linear)
     if "model.decoder.project_in.weight" in sd:
-        params["project_in"] = _t2j(sd["model.decoder.project_in.weight"], dtype)
-        params["project_out"] = _t2j(sd["model.decoder.project_out.weight"], dtype)
+        params["project_in"] = _linear_leaf(sd, "model.decoder.project_in", dtype)
+        params["project_out"] = _linear_leaf(sd, "model.decoder.project_out", dtype)
 
     layers = []
     for i in range(spec.num_layers):

@@ -95,25 +95,56 @@ def parse_linear_name(spec, name: str) -> tuple[int, str]:
     return int(parts[idx]), parts[-1]
 
 
-def linear_names(params: dict, spec) -> list[str]:
-    return [linear_name(spec, i, k)
-            for i in range(len(params["layers"]))
-            for k in layer_linear_keys(spec)]
+# Non-decoder linears the reference's isinstance(nn.Linear) walk also
+# covers (ref sensitivity.py:19-33 starts from `modules=[model]`): the
+# lm_head (even when weight-tied — torch keeps a tied nn.Linear module,
+# which the reference factorizes, silently breaking the tie for the head
+# only) and OPT-350m's project_in/project_out.
+LM_HEAD_NAME = "lm_head"
+PROJECT_IN_NAME = "model.decoder.project_in"
+PROJECT_OUT_NAME = "model.decoder.project_out"
 
 
-def iter_linears(params: dict, spec) -> Iterator[tuple[str, dict]]:
+def extra_linear_names(params: dict, spec) -> list[str]:
+    names = []
+    if params.get("project_in") is not None:
+        names += [PROJECT_IN_NAME, PROJECT_OUT_NAME]
+    names.append(LM_HEAD_NAME)
+    return names
+
+
+def linear_names(params: dict, spec, include_extras: bool = False) -> list[str]:
+    names = [linear_name(spec, i, k)
+             for i in range(len(params["layers"]))
+             for k in layer_linear_keys(spec)]
+    if include_extras:
+        names += extra_linear_names(params, spec)
+    return names
+
+
+def iter_linears(params: dict, spec, include_extras: bool = False
+                 ) -> Iterator[tuple[str, dict]]:
     """Yield (full_name, leaf) for every compressible linear.
 
-    Like the reference we only expose decoder-layer linears to compression
-    (the lm_head is never in an OPT/Llama decoder layer walk's scope in
-    practice: sensitivity/binary-search operate on every nn.Linear, but the
-    published checkpoints only factor layer projections)."""
+    include_extras=True matches the reference's walk over EVERY nn.Linear
+    (lm_head + OPT project_in/out, ref sensitivity.py:19-33); False limits
+    the scope to decoder-layer projections."""
     for i, layer in enumerate(params["layers"]):
         for k in layer_linear_keys(spec):
             yield linear_name(spec, i, k), layer[k]
+    if include_extras:
+        for name in extra_linear_names(params, spec):
+            yield name, get_linear(params, spec, name)
 
 
 def get_linear(params: dict, spec, name: str) -> dict:
+    if name == LM_HEAD_NAME:
+        head = params.get("lm_head")
+        if head is None:  # tied: the head weight IS the embedding matrix
+            return dense_leaf(params["embed_tokens"], None)
+        return head
+    if name in (PROJECT_IN_NAME, PROJECT_OUT_NAME):
+        return params[name.rsplit(".", 1)[-1]]
     i, key = parse_linear_name(spec, name)
     return params["layers"][i][key]
 
@@ -121,6 +152,17 @@ def get_linear(params: dict, spec, name: str) -> dict:
 def set_linear(params: dict, spec, name: str, leaf: dict) -> dict:
     """Functional substitution: returns a new params pytree with one leaf
     replaced (shallow-copies only the touched path)."""
+    if name == LM_HEAD_NAME:
+        out = dict(params)
+        # compressing a tied head materializes an explicit (low-rank)
+        # lm_head leaf and leaves the embedding dense — the reference's
+        # SVDLinear swap-in has the same tie-breaking effect
+        out["lm_head"] = leaf
+        return out
+    if name in (PROJECT_IN_NAME, PROJECT_OUT_NAME):
+        out = dict(params)
+        out[name.rsplit(".", 1)[-1]] = leaf
+        return out
     i, key = parse_linear_name(spec, name)
     layers = list(params["layers"])
     layer = dict(layers[i])
@@ -131,5 +173,6 @@ def set_linear(params: dict, spec, name: str, leaf: dict) -> dict:
     return out
 
 
-def count_linear_params(params: dict, spec) -> int:
-    return sum(leaf_n_params(leaf) for _, leaf in iter_linears(params, spec))
+def count_linear_params(params: dict, spec, include_extras: bool = False) -> int:
+    return sum(leaf_n_params(leaf)
+               for _, leaf in iter_linears(params, spec, include_extras))

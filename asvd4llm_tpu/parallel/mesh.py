@@ -101,14 +101,24 @@ def param_specs(params: dict, spec, tp_size: int) -> dict:
         layers.append(lsp)
     out["layers"] = layers
     out["final_norm"] = norm_spec(params.get("final_norm"))
+    for pk in ("project_in", "project_out"):
+        if params.get(pk) is not None:
+            # OPT-350m projections: small, replicate (any encoding)
+            out[pk] = {k: (None if v is None else P())
+                       for k, v in params[pk].items()}
     lm = params.get("lm_head")
     if lm is None:
         out["lm_head"] = None
-    else:
+    elif "w" in lm:
         Vl, _ = lm["w"].shape
         wspec = P("tp", None) if tp_size > 1 and Vl % tp_size == 0 else P()
         out["lm_head"] = {"w": wspec,
                           "b": None if lm.get("b") is None else P()}
+    else:
+        # compressed head: column-parallel low-rank/q8 layout (A sharded on
+        # the vocab dim, B replicated), same rule as q/k/v leaves
+        out["lm_head"] = _divisible(_leaf_spec("q_proj", lm, tp_size),
+                                    lm, tp_size)
     return out
 
 

@@ -67,8 +67,11 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
     stats = None
     if "fisher" in cfg.scaling_method:
         with phase("calib_fisher"):
-            fisher = calib_fisher_info(params, spec, calib_loader,
-                                       cache=cache, cache_key=cfg.calib_key())
+            fisher = calib_fisher_info(
+                params, spec, calib_loader, cache=cache,
+                cache_key=cfg.calib_key(),
+                include_extras=cfg.compress_all_linears,
+                double_shift=cfg.fisher_double_shift)
     if "abs" in cfg.scaling_method:
         with phase("calib_stats"):
             stats = calib_input_distribution(params, spec, calib_loader,

@@ -71,7 +71,8 @@ def test_fisher_matches_torch_autograd(tiny):
                                      labels.reshape(-1))
         loss.backward()
         for name, mod in model.named_modules():
-            if isinstance(mod, nn.Linear) and name != "lm_head":
+            # every nn.Linear incl. lm_head, like the reference's walk
+            if isinstance(mod, nn.Linear):
                 g = mod.weight.grad.detach()
                 fisher_t[name] = fisher_t.get(name, 0) + g.pow(2).mean(0)
     fisher_t = {k: (v / len(loader)).sqrt() for k, v in fisher_t.items()}

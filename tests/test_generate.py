@@ -200,3 +200,34 @@ def test_generate_forwards_use_pallas(tiny, monkeypatch):
     prompt = np.asarray([[1, 2, 3]])
     gen.generate(params, spec, prompt, max_new_tokens=3, use_pallas=True)
     assert seen and all(seen)
+
+
+def test_generate_on_device_matches_host_loop(tiny):
+    """The lax.while_loop decode (one dispatch, EOS early exit) must be
+    token-identical to the per-token host loop, incl. with EOS stopping
+    and with the latent KV cache."""
+    from asvd4llm_tpu.eval.generate import generate_on_device
+
+    _, params, spec = tiny
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(0, 128, size=(2, 6))
+    host = generate(params, spec, prompt, max_new_tokens=8)
+    dev = generate_on_device(params, spec, prompt, max_new_tokens=8)
+    np.testing.assert_array_equal(dev, host)
+
+    # EOS: pick the first token the host loop emits as the eos id so the
+    # loop must exit early, then compare step-for-step
+    eos = int(host[0, 6])
+    host_e = generate(params, spec, prompt, max_new_tokens=8,
+                      eos_token_id=eos)
+    dev_e = generate_on_device(params, spec, prompt, max_new_tokens=8,
+                               eos_token_id=eos)
+    np.testing.assert_array_equal(dev_e, host_e)
+    assert dev_e.shape[1] <= host.shape[1]
+
+    # latent KV path
+    p = _compress_kv(params, spec, ratio=1.0)
+    host_l = generate(p, spec, prompt, max_new_tokens=6, latent_kv=True)
+    dev_l = generate_on_device(p, spec, prompt, max_new_tokens=6,
+                               latent_kv=True)
+    np.testing.assert_array_equal(dev_l, host_l)

@@ -141,7 +141,8 @@ def test_stats_collection_matches_torch_hooks():
         return hook
 
     for name, mod in model.named_modules():
-        if isinstance(mod, nn.Linear) and name != "lm_head":
+        # every nn.Linear incl. lm_head, like the reference's hook walk
+        if isinstance(mod, nn.Linear):
             hooks.append(mod.register_forward_hook(make_hook(name)))
     with torch.no_grad():
         for b in batches:
@@ -219,8 +220,8 @@ def test_opt_350m_style_projections_parity():
     model = transformers.OPTForCausalLM(cfg).eval()
     params, spec = params_from_torch_model(model, dtype=jnp.float32)
     assert spec.word_embed_proj_dim == 24
-    assert params["project_in"].shape == (48, 24)
-    assert params["project_out"].shape == (24, 48)
+    assert params["project_in"]["w"].shape == (48, 24)
+    assert params["project_out"]["w"].shape == (24, 48)
     ids = np.random.RandomState(7).randint(0, 128, size=(2, 14))
     with torch.no_grad():
         ref = model(torch.from_numpy(ids.copy())).logits.numpy()

@@ -48,11 +48,11 @@ def test_pipeline_run_from_checkpoint(tmp_path, monkeypatch):
                                                   rel=1e-3)
 
 
-@pytest.mark.parametrize("fuse", ["UV", "U", "V"])
-def test_sigma_fuse_through_search(fuse):
+def test_sigma_fuse_through_search():
     """All three sigma fusions produce the same compressed forward (the
     fusion only redistributes S between the factors, ref svd_linear.py:
-    16-24) — checked through the full binary search."""
+    16-24) — checked through the full binary search, all variants inside
+    ONE test so the comparison can never be skipped by -k selection."""
     import transformers
 
     from asvd4llm_tpu.calib.search import binary_search_truncation_rank
@@ -71,23 +71,20 @@ def test_sigma_fuse_through_search(fuse):
     names = [n for n, _ in iter_linears(params, spec)]
     sens = {n: {r: float(rng.uniform(10, 100)) for r in (0.5, 0.8)}
             for n in names}
-
-    cfg = ASVDConfig(model_id="t", param_ratio_target=0.8, sigma_fuse=fuse,
-                     svd_backend="exact")
-    out, manifest = binary_search_truncation_rank(params, spec, sens,
-                                                  loader, cfg)
-    assert manifest
     ids = jnp.asarray(rng.randint(0, 128, size=(1, 10)))
-    logits = forward(out, ids, spec)
-    assert bool(jnp.isfinite(logits).all())
-    # stash for cross-fuse comparison via function attribute
-    store = test_sigma_fuse_through_search.__dict__.setdefault("outs", {})
-    store[fuse] = np.asarray(logits)
-    if len(store) == 3:
-        np.testing.assert_allclose(store["U"], store["UV"], atol=1e-3,
-                                   rtol=1e-3)
-        np.testing.assert_allclose(store["V"], store["UV"], atol=1e-3,
-                                   rtol=1e-3)
+
+    outs = {}
+    for fuse in ("UV", "U", "V"):
+        cfg = ASVDConfig(model_id="t", param_ratio_target=0.8,
+                         sigma_fuse=fuse, svd_backend="exact")
+        out, manifest = binary_search_truncation_rank(params, spec, sens,
+                                                      loader, cfg)
+        assert manifest
+        logits = forward(out, ids, spec)
+        assert bool(jnp.isfinite(logits).all())
+        outs[fuse] = np.asarray(logits)
+    np.testing.assert_allclose(outs["U"], outs["UV"], atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(outs["V"], outs["UV"], atol=1e-3, rtol=1e-3)
 
 
 def test_cli_bool_flags_roundtrip():

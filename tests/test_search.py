@@ -155,8 +155,9 @@ def test_stable_rank_sensitivity(tiny):
     params, spec = tiny
     sens = calib_sensitivity_stable_rank(params, spec, _loader(1),
                                          ASVDConfig(model_id="t"))
-    names = [n for n, _ in iter_linears(params, spec)]
+    names = [n for n, _ in iter_linears(params, spec, include_extras=True)]
     assert set(sens) == set(names)
+    assert "lm_head" in sens
     for n, d in sens.items():
         assert len(d) == 9
         # score = -sr * r**0.1 is increasing in magnitude with r... i.e.
