@@ -81,9 +81,13 @@ class ASVDConfig:
     sensitivity_batch_ratios: bool = True
     # mesh: data-parallel x tensor-parallel device grid; (1, 1) = single chip
     mesh_shape: tuple = (1, 1)
-    # use the fused Pallas low-rank kernel for decode (falls back to XLA
-    # dot-dot automatically off-TPU)
-    use_pallas: bool = True
+    # use the fused Pallas low-rank kernel for bf16 decode. Default OFF:
+    # measured on v5e (benchmarks/results/kernel_bench_r2.json), XLA's
+    # dot-dot is at/near the HBM roofline and beats the hand-fused bf16
+    # kernel on every decode shape (pallas_vs_xla 0.84-0.96), so XLA is the
+    # shipped bf16 path. Int8-factor leaves always use the fused q8 Pallas
+    # kernel (1.49x dense at the layer level) regardless of this flag.
+    use_pallas: bool = False
 
     def __post_init__(self):
         if self.scaling_method not in SCALING_METHODS:
