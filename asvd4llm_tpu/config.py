@@ -57,6 +57,12 @@ class ASVDConfig:
     # format for the fused q8 Pallas kernel; weight_quant stays fake-quant
     # for evaluation parity with the reference)
     deploy_int8_factors: bool = False
+    # convert low-rank factors to REAL packed int4 codes with per-group
+    # scales + AWQ rank-dim scale folding (serve format for the fused q4
+    # Pallas kernel — the reference's AWQ w4 GEMM deployment analogue,
+    # ref quantization.py:269)
+    deploy_int4_factors: bool = False
+    int4_group_size: int = 128
     # -- KV-cache compression --
     compress_kv_cache: bool = False
     kv_cache_ratio_target: float = -1.0

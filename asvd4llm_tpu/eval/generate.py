@@ -67,7 +67,7 @@ def init_caches(params, spec, batch: int, max_len: int, dtype=jnp.bfloat16,
 
 
 def _apply_leaf(leaf, x, up=False):
-    if "A8" in leaf:
+    if "A8" in leaf or "A4" in leaf:  # quantized deployment leaves
         from asvd4llm_tpu.models.decoder import apply_linear
         return apply_linear(leaf, x)
     if is_lowrank(leaf):

@@ -304,8 +304,28 @@ def evaluate_tasks(params, spec, tokenizer, tasks: str, cfg,
 
     engine = LoglikelihoodEngine(params, spec, max_len=cfg.seqlen)
     results: dict = {}
-    objs = task_objects if task_objects is not None else \
-        [load_task(n, num_fewshot) for n in expand_tasks(tasks)]
+    if task_objects is not None:
+        objs = task_objects
+    else:
+        objs, foreign = [], []
+        for n in expand_tasks(tasks):
+            try:
+                objs.append(load_task(n, num_fewshot))
+            except NotImplementedError:
+                foreign.append(n)
+        if foreign:
+            # reference behavior: any unrecognized task name goes to the
+            # installed lm-eval evaluator (ref evaluate_utils.py:209-221)
+            from asvd4llm_tpu.eval.lm_eval_bridge import (
+                evaluate_via_lm_eval, lm_eval_available,
+            )
+            if not lm_eval_available():
+                raise NotImplementedError(
+                    f"tasks {foreign} are not built in and the lm_eval "
+                    f"package is not installed to route them")
+            results.update(evaluate_via_lm_eval(
+                params, spec, tokenizer, foreign, cfg,
+                num_fewshot=num_fewshot, limit=limit))
     for task in objs:
         r = task.evaluate(engine, tokenizer, limit=limit)
         log.info("%s: %s", task.name, r)

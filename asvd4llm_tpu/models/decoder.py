@@ -93,6 +93,12 @@ def apply_linear(leaf, x, *, name=None, stats=None, collect=None,
             stats[name] = contrib if prev is None else jnp.maximum(prev, contrib)
         else:
             raise ValueError(f"unknown stats method {collect!r}")
+    if "A4" in leaf:  # int4-packed factors (deployment format)
+        from asvd4llm_tpu.ops.pallas_lowrank import fused_lowrank_apply_q4
+        group = leaf["B4"].shape[1] * 2 // leaf["Bsc"].shape[1]
+        return fused_lowrank_apply_q4(x, leaf["A4"], leaf["Asc"],
+                                      leaf["Azs"], leaf["B4"], leaf["Bsc"],
+                                      leaf["Bzs"], leaf["b"], group=group)
     if "A8" in leaf:  # int8-quantized factors (deployment format)
         from asvd4llm_tpu.ops.pallas_lowrank import fused_lowrank_apply_q8
         from asvd4llm_tpu.ops.quant import QuantParams

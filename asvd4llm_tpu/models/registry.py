@@ -43,8 +43,27 @@ def is_q8_lowrank(leaf: dict) -> bool:
     return "A8" in leaf
 
 
+def q4_lowrank_leaf(a4, a_scale, a_zscale, b4, b_scale, b_zscale, bias=None
+                    ) -> dict:
+    """Int4-packed low-rank leaf: 2 codes/byte + per-(row, group) scales
+    (deployment format for the fused q4 Pallas kernel; the reference's
+    analogue is the AWQ w4 GEMM path, ref quantization.py:269).
+    A4: [N, Rp/2] uint8, Asc/Azs: [N, Rp/group];
+    B4: [Rp, Kp/2] uint8, Bsc/Bzs: [Rp, Kp/group]."""
+    return {"A4": a4, "Asc": a_scale, "Azs": a_zscale,
+            "B4": b4, "Bsc": b_scale, "Bzs": b_zscale, "b": bias}
+
+
+def is_q4_lowrank(leaf: dict) -> bool:
+    return "A4" in leaf
+
+
 def leaf_shape(leaf: dict) -> tuple[int, int]:
-    """(out_features, in_features) of any encoding."""
+    """(out_features, in_features) of any encoding. (q4: in_features is the
+    512-padded K the codes were packed at — deployment leaves never feed
+    the search's accounting, which runs before quantization.)"""
+    if is_q4_lowrank(leaf):
+        return leaf["Asc"].shape[0], leaf["B4"].shape[1] * 2
     if is_q8_lowrank(leaf):
         return leaf["A8"].shape[0], leaf["B8"].shape[1]
     if is_lowrank(leaf):
@@ -53,6 +72,8 @@ def leaf_shape(leaf: dict) -> tuple[int, int]:
 
 
 def leaf_n_params(leaf: dict) -> int:
+    if is_q4_lowrank(leaf):
+        return leaf["A4"].size + leaf["B4"].size  # packed bytes = 2 params
     if is_q8_lowrank(leaf):
         return leaf["A8"].size + leaf["B8"].size
     if is_lowrank(leaf):

@@ -184,6 +184,165 @@ def _fused_2d_q8(x, a8, asc, azp, b8, bsc, bzp, bias, *, tk=512, tn=512,
     )(x, b8, bsc, bzp, a8, asc, azp, bias)
 
 
+def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
+               bias_ref, y_ref, t_acc, y_acc, *, nk, nn, group, col_tile):
+    """Int4-factor variant. Codes are 4-bit, packed 2/byte with the
+    tile-aware split-half layout (ops/quant.py pack_int4): unpacking a
+    tile's low/high nibbles yields two CONTIGUOUS half-tiles, so no lane
+    interleave is needed. Per-(row, group) scales are applied OUTSIDE the
+    dot: for group g,
+        y_g = (x_g @ codes_g.T) * scale[:, g] - sum(x_g) ⊗ zero_scale[:, g]
+    — the MXU multiplies raw codes and the VPU applies two rank-1
+    corrections, which is exactly the algebra of asymmetric dequant."""
+    g = pl.program_id(0)
+    half = col_tile // 2
+    ngh = half // group            # groups per nibble-half per tile
+
+    @pl.when(g == 0)
+    def _():
+        t_acc[:] = jnp.zeros_like(t_acc)
+
+    @pl.when(g < nk)
+    def _():
+        pk = bq_ref[:].astype(jnp.int32)         # [R, half]
+        lo = (pk & 15).astype(jnp.float32)
+        hi = ((pk >> 4) & 15).astype(jnp.float32)
+        for k in range(col_tile // group):       # static unroll (<=4)
+            nib = lo if k < ngh else hi
+            codes = nib[:, (k % ngh) * group:(k % ngh + 1) * group]
+            xg = x_ref[:, k * group:(k + 1) * group].astype(jnp.float32)
+            partial = jax.lax.dot_general(
+                xg, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            xs = jnp.sum(xg, axis=1, keepdims=True)      # [M, 1]
+            t_acc[:] += partial * bs_ref[:, k][None, :] \
+                - xs * bzs_ref[:, k][None, :]
+
+    @pl.when(g >= nk)
+    def _():
+        pk = aq_ref[:].astype(jnp.int32)         # [TN, Rp/2]
+        lo = (pk & 15).astype(jnp.float32)
+        hi = ((pk >> 4) & 15).astype(jnp.float32)
+        R = t_acc.shape[1]
+        y_acc[:] = jnp.broadcast_to(bias_ref[:].astype(jnp.float32),
+                                    y_acc.shape)
+        for g2 in range(R // group):             # static unroll
+            t_idx = (g2 * group) // col_tile
+            j = g2 % (col_tile // group)
+            nib = lo if j < ngh else hi
+            c0 = t_idx * half + (j % ngh) * group
+            codes = nib[:, c0:c0 + group]        # [TN, group]
+            tg = t_acc[:, g2 * group:(g2 + 1) * group]
+            partial = jax.lax.dot_general(
+                tg, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y_acc[:] += partial * as_ref[:, g2][None, :] \
+                - jnp.sum(tg, axis=1, keepdims=True) * azs_ref[:, g2][None, :]
+        y_ref[:] = y_acc[:].astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tk", "tn", "group",
+                                              "interpret"))
+def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
+                 group=128, interpret=False):
+    """x [M,K]; a4 [N, Rp/2] uint8 packed (+ asc/azs [N, Rp/group]);
+    b4 [Rp, K/2] packed (+ bsc/bzs [Rp, K/group]); bias [1,N].
+    All pre-padded; tk must equal the col_tile used at pack time."""
+    M, K = x.shape
+    N = a4.shape[0]
+    R = b4.shape[0]
+    nk, nn = _cdiv(K, tk), _cdiv(N, tn)
+    gk = tk // group            # scale cols per K tile
+
+    grid_spec = pl.GridSpec(
+        grid=(nk + nn,),
+        scratch_shapes=[pltpu.VMEM((M, R), jnp.float32),
+                        pltpu.VMEM((M, tn), jnp.float32)],
+        in_specs=[
+            pl.BlockSpec((M, tk), lambda g: (0, jnp.minimum(g, nk - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tk // 2), lambda g: (0, jnp.minimum(g, nk - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, gk), lambda g: (0, jnp.minimum(g, nk - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, gk), lambda g: (0, jnp.minimum(g, nk - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, R // 2), lambda g: (jnp.maximum(g - nk, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, R // group),
+                         lambda g: (jnp.maximum(g - nk, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, R // group),
+                         lambda g: (jnp.maximum(g - nk, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda g: (0, jnp.maximum(g - nk, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, tn), lambda g: (0, jnp.maximum(g - nk, 0)),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_q4_kernel, nk=nk, nn=nn, group=group,
+                          col_tile=tk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * R * (K + N),
+            bytes_accessed=a4.size + b4.size + x.size * x.dtype.itemsize
+            + M * N * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, b4, bsc, bzs, a4, asc, azs, bias)
+
+
+def fused_lowrank_apply_q4(x, a4, asc, azs, b4, bsc, bzs, bias=None, *,
+                           group=128, interpret=False):
+    """4-bit-factor fused apply (deployment format of the reference's AWQ
+    w4 GEMM path, ref quantization.py:269): y = (x @ dq(B4).T) @ dq(A4).T
+    + bias. a4/b4 are pack_int4 layouts quantized by
+    quant.quantize_to_int4_grouped at col_tile=512 (K and R already padded
+    to 512 multiples at quantize time; N rows are padded here)."""
+    from asvd4llm_tpu.ops.lowrank import lowrank_apply
+    from asvd4llm_tpu.ops.quant import dequantize_int4_grouped
+
+    N = asc.shape[0]
+    Rp = b4.shape[0]
+    Kp = b4.shape[1] * 2
+    K = x.shape[-1]
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not (interpret or on_tpu) or M > _MAX_FUSED_TOKENS:
+        a = dequantize_int4_grouped(a4, asc, azs, group=group,
+                                    dtype=x.dtype)[:, :Rp]
+        b = dequantize_int4_grouped(b4, bsc, bzs, group=group,
+                                    dtype=x.dtype)[:, :Kp]
+        y = lowrank_apply(
+            jnp.pad(x.reshape(M, K), ((0, 0), (0, Kp - K))), a, b, bias)
+        return y.reshape(*lead, N)
+
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    Mp = _round_up(max(M, sub), sub)
+    tn = 512
+    Np = _round_up(N, tn)
+    x2 = jnp.pad(x.reshape(M, K), ((0, Mp - M), (0, Kp - K)))
+    a4p = jnp.pad(a4, ((0, Np - N), (0, 0)))
+    ascp = jnp.pad(asc.astype(jnp.float32), ((0, Np - N), (0, 0)))
+    azsp = jnp.pad(azs.astype(jnp.float32), ((0, Np - N), (0, 0)))
+    biasp = jnp.zeros((1, Np), x.dtype) if bias is None else \
+        jnp.pad(bias.astype(x.dtype), (0, Np - N)).reshape(1, Np)
+    y = _fused_2d_q4(x2, a4p, ascp, azsp, b4,
+                     bsc.astype(jnp.float32), bzs.astype(jnp.float32),
+                     biasp, tk=512, tn=tn, group=group, interpret=interpret)
+    return y[:M, :N].reshape(*lead, N)
+
+
 def fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, bias=None, *,
                            interpret=False):
     """Quantized-factor fused apply: y = (x @ dq(B8).T) @ dq(A8).T + bias.

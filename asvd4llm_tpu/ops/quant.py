@@ -103,3 +103,88 @@ def quantize_to_int(w: jax.Array, bits: int) -> tuple[jax.Array, QuantParams]:
 
 def dequantize(q: jax.Array, qp: QuantParams, dtype=jnp.float32) -> jax.Array:
     return (qp.scale * (q.astype(jnp.float32) - qp.zero)).astype(dtype)
+
+
+# --------------------------------------------------------------- int4 ----
+#
+# Real 4-bit deployment format for low-rank factors (the reference deploys
+# AWQ w4 GEMM, ref quantization.py:269 / experiments/quantize.sh). Codes are
+# 0..15, asymmetric per (row, col-group); two codes pack into one uint8.
+#
+# Packing layout (chosen for the TPU kernel, ops/pallas_lowrank.py):
+# columns are processed in COL_TILE-wide tiles; within each tile the LOW
+# nibble of packed column c holds original column c of the tile's first
+# half and the HIGH nibble holds the tile's second half. Unpacking a tile
+# therefore yields two CONTIGUOUS half-tiles — no lane interleave (a
+# relayout Mosaic punishes) is ever needed.
+
+INT4_COL_TILE = 512
+
+
+def quantize_to_int4_grouped(w: jax.Array, group: int = 128,
+                             col_tile: int = INT4_COL_TILE):
+    """w [rows, cols] -> (packed uint8 [rows, colsP/2],
+                          scale f32 [rows, colsP/group],
+                          zero_scale f32 [rows, colsP/group])
+    with colsP = cols padded to a col_tile multiple (padded groups have
+    scale 0 so they dequantize to exactly 0). `group` must divide
+    col_tile/2 so no group straddles a nibble-half boundary.
+
+    Dequant of code q in (row r, group g): scale[r,g]*q - zero_scale[r,g]
+    (zero folded into zero_scale = scale*zero so the matmul kernel's
+    correction term is a single outer product per group)."""
+    assert (col_tile // 2) % group == 0, (group, col_tile)
+    rows, cols = w.shape
+    colsP = _ceil_to(cols, col_tile)
+    wp = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, colsP - cols)))
+    ng = colsP // group
+    wg = wp.reshape(rows, ng, group)
+    xmin = jnp.minimum(wg.min(axis=-1), 0.0)
+    xmax = jnp.maximum(wg.max(axis=-1), 0.0)
+    degenerate = (xmax - xmin) == 0
+    scale = jnp.where(degenerate, 0.0, (xmax - xmin) / 15.0)
+    inv = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
+    zero = jnp.round(-xmin * inv)
+    q = jnp.clip(jnp.round(wg * inv[..., None]) + zero[..., None], 0, 15)
+    q = q.reshape(rows, colsP).astype(jnp.uint8)
+    packed = pack_int4(q, col_tile)
+    return packed, scale, scale * zero
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def pack_int4(q: jax.Array, col_tile: int = INT4_COL_TILE) -> jax.Array:
+    """q uint8 [rows, cols] (values 0..15, cols a col_tile multiple) ->
+    packed uint8 [rows, cols/2] with the tile-aware split-half layout."""
+    rows, cols = q.shape
+    assert cols % col_tile == 0
+    half = col_tile // 2
+    qt = q.reshape(rows, cols // col_tile, 2, half)
+    lo = qt[:, :, 0, :]
+    hi = qt[:, :, 1, :]
+    return (lo | (hi << 4)).reshape(rows, cols // 2)
+
+
+def unpack_int4(packed: jax.Array, col_tile: int = INT4_COL_TILE) -> jax.Array:
+    """Inverse of pack_int4 -> uint8 codes [rows, cols]."""
+    rows, colsH = packed.shape
+    half = col_tile // 2
+    pt = packed.reshape(rows, colsH // half, half)
+    lo = pt & 15
+    hi = (pt >> 4) & 15
+    return jnp.stack([lo, hi], axis=2).reshape(rows, colsH * 2)
+
+
+def dequantize_int4_grouped(packed: jax.Array, scale: jax.Array,
+                            zero_scale: jax.Array, group: int = 128,
+                            col_tile: int = INT4_COL_TILE,
+                            dtype=jnp.float32) -> jax.Array:
+    """packed [rows, colsP/2] (+ per-group scale/zero_scale) -> [rows,
+    colsP] floats (the XLA fallback / test oracle for the fused q4 kernel)."""
+    q = unpack_int4(packed, col_tile).astype(jnp.float32)
+    rows, colsP = q.shape
+    qg = q.reshape(rows, colsP // group, group)
+    w = qg * scale[..., None] - zero_scale[..., None]
+    return w.reshape(rows, colsP).astype(dtype)

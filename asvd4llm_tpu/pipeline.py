@@ -105,6 +105,12 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
         with phase("deploy_int8"):
             compressed = quantize_lowrank_factors_int8(compressed, spec)
 
+    if cfg.deploy_int4_factors:
+        from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int4
+        with phase("deploy_int4"):
+            compressed = quantize_lowrank_factors_int4(
+                compressed, spec, group=cfg.int4_group_size, stats=stats)
+
     artifacts = {"stats": stats, "fisher": fisher, "sensitivity": sensitivity,
                  "calib_loader": calib_loader}
     return compressed, manifest, artifacts

@@ -180,6 +180,48 @@ def _build_q8_layer():
     return packs, layer_q8, Hp
 
 
+def _build_q4_layer():
+    """Int4-packed-factor layer using the fused q4 Pallas kernel — the AWQ
+    w4 deployment analogue (ref quantization.py:269): 2 codes/byte +
+    per-(row, 128-group) scales, HBM factor traffic QUARTERED vs bf16."""
+    from asvd4llm_tpu.ops.pallas_lowrank import _fused_2d_q4, _round_up
+    from asvd4llm_tpu.ops.quant import quantize_to_int4_grouped
+
+    key = jax.random.PRNGKey(0)
+    Hp, Ip = _round_up(H, 512), _round_up(I, 512)
+    packs = []
+    for out_f, in_f in ATTN_SHAPES + MLP_SHAPES:
+        key, k2, k3 = jax.random.split(key, 3)
+        r = rank_for_param_ratio(in_f, out_f, RATIO, RANK_ALIGN)
+        a = jax.random.normal(k2, (out_f, r)) * (r ** -0.5)
+        b = jax.random.normal(k3, (r, in_f)) * (in_f ** -0.5)
+        a4, asc, azs = quantize_to_int4_grouped(a)
+        b4, bsc, bzs = quantize_to_int4_grouped(b)
+        Rp = a4.shape[1] * 2
+        np_ = _round_up(out_f, 512)
+        packs.append((
+            jnp.pad(a4, ((0, np_ - out_f), (0, 0))),
+            jnp.pad(asc.astype(jnp.float32), ((0, np_ - out_f), (0, 0))),
+            jnp.pad(azs.astype(jnp.float32), ((0, np_ - out_f), (0, 0))),
+            jnp.pad(b4, ((0, Rp - r), (0, 0))),
+            jnp.pad(bsc.astype(jnp.float32), ((0, Rp - r), (0, 0))),
+            jnp.pad(bzs.astype(jnp.float32), ((0, Rp - r), (0, 0))),
+            jnp.zeros((1, np_), jnp.bfloat16),
+        ))
+
+    def layer_q4(ws, x):  # x padded [Mp, Hp]
+        ap = lambda xx, t: _fused_2d_q4(xx, *t, tk=512, tn=512)
+        q = ap(x, ws[0])[:, :Hp]
+        k = ap(x, ws[1])[:, :Hp]
+        v = ap(x, ws[2])[:, :Hp]
+        h = x + ap(q + k + v, ws[3])[:, :Hp]
+        g = jax.nn.silu(ap(h, ws[4]))
+        u = ap(h, ws[5])
+        return h + ap((g * u)[:, :Ip], ws[6])[:, :Hp]
+
+    return packs, layer_q4, Hp
+
+
 def main():
     # persistent compilation cache: compiles through the TPU tunnel cost
     # minutes; a primed cache makes reruns start in seconds
@@ -197,7 +239,7 @@ def main():
     t_dense = scan_timer(_layer_dense, dense, x)
     t_xla = scan_timer(_layer_lowrank, lowrank, x)
 
-    t_pallas = t_q8 = None
+    t_pallas = t_q8 = t_q4 = None
     if jax.default_backend() == "tpu":
         try:
             from asvd4llm_tpu.ops.pallas_lowrank import _round_up
@@ -215,6 +257,11 @@ def main():
             t_q8 = scan_timer(layer_q8, packs, xp)
         except Exception as e:  # keep the headline metric robust
             print(f"int8 path failed: {e}", file=sys.stderr)
+        try:
+            packs4, layer_q4, Hp = _build_q4_layer()
+            t_q4 = scan_timer(layer_q4, packs4, xp)
+        except Exception as e:
+            print(f"int4 path failed: {e}", file=sys.stderr)
 
     # best-of policy: the headline is the SHIPPED bf16 decode path, i.e.
     # whichever of XLA dot-dot / fused Pallas wins on this chip (config
