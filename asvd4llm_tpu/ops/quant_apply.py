@@ -31,7 +31,9 @@ def quantize_lowrank_factors_int8(params, spec):
 
     out = params
     n = 0
-    for name, leaf in iter_linears(params, spec):
+    # include_extras: a compressed lm_head / OPT projection is a low-rank
+    # leaf like any other and must serve quantized too
+    for name, leaf in iter_linears(params, spec, include_extras=True):
         if not is_lowrank(leaf):
             continue
         a8, aq = quantize_to_int(leaf["A"], 8)
@@ -65,7 +67,7 @@ def quantize_lowrank_factors_int4(params, spec, *, group: int = 128,
     stats = stats or {}
     out = params
     n = 0
-    for name, leaf in iter_linears(params, spec):
+    for name, leaf in iter_linears(params, spec, include_extras=True):
         if not is_lowrank(leaf):
             continue
         a, b = leaf["A"], leaf["B"]
