@@ -427,6 +427,15 @@ def generate_on_device(params, spec, input_ids, *, max_new_tokens: int = 32,
     return np.concatenate([np.asarray(ids), np.asarray(out)[:, :n]], axis=1)
 
 
+def generate_auto(params, spec, input_ids, **kw) -> np.ndarray:
+    """Greedy generation via the on-device while-loop on TPU (one dispatch
+    for the whole decode — the host loop pays one tunnel round-trip per
+    token there) and the host loop elsewhere; both are token-identical."""
+    if jax.default_backend() == "tpu":
+        return generate_on_device(params, spec, input_ids, **kw)
+    return generate(params, spec, input_ids, **kw)
+
+
 def generate(params, spec, input_ids, *, max_new_tokens: int = 32,
              eos_token_id: Optional[int] = None, max_len: Optional[int] = None,
              latent_kv: bool = False, use_pallas: bool = False,

@@ -212,7 +212,7 @@ def get_pred(params, spec, tokenizer, dataset: str, examples, *,
              max_prompt_tokens: int = 1024, latent_kv: bool = False,
              max_examples: int = -1) -> list[dict]:
     """Greedy predictions for one dataset (ref :312-353)."""
-    from asvd4llm_tpu.eval.generate import generate
+    from asvd4llm_tpu.eval.generate import generate_auto
     preds = []
     for i, ex in enumerate(examples):
         if max_examples > 0 and i >= max_examples:
@@ -221,9 +221,10 @@ def get_pred(params, spec, tokenizer, dataset: str, examples, *,
         ids = tokenizer.encode(prompt)
         ids = middle_truncate(ids, max_prompt_tokens)
         arr = np.asarray(ids, np.int32)[None, :]
-        out = generate(params, spec, arr, max_new_tokens=MAX_GEN[dataset],
-                       eos_token_id=tokenizer.eos_token_id,
-                       latent_kv=latent_kv)
+        out = generate_auto(params, spec, arr,
+                            max_new_tokens=MAX_GEN[dataset],
+                            eos_token_id=tokenizer.eos_token_id,
+                            latent_kv=latent_kv)
         gen = out[0, len(ids):]
         text = tokenizer.decode([t for t in gen.tolist()
                                  if t != tokenizer.eos_token_id])

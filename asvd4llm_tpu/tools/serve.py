@@ -60,11 +60,12 @@ def main(argv=None):
                               n_tokens=args.max_new_tokens,
                               temperature=args.temperature)
     else:
-        from asvd4llm_tpu.eval.generate import generate
-        out = generate(params, spec, ids,
-                       max_new_tokens=args.max_new_tokens,
-                       eos_token_id=tokenizer.eos_token_id,
-                       latent_kv=args.latent_kv, use_pallas=args.use_pallas)
+        from asvd4llm_tpu.eval.generate import generate_auto
+        out = generate_auto(params, spec, ids,
+                            max_new_tokens=args.max_new_tokens,
+                            eos_token_id=tokenizer.eos_token_id,
+                            latent_kv=args.latent_kv,
+                            use_pallas=args.use_pallas)
     dt = time.time() - t0
     n_new = out.shape[1] - ids.shape[1]
     text = tokenizer.decode(out[0].tolist())
