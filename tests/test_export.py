@@ -99,3 +99,73 @@ def test_load_factored_hf_repo_back_into_pytree(compressed, tmp_path):
     np.testing.assert_allclose(np.asarray(forward(p2, ids, spec2)),
                                np.asarray(forward(params, ids, spec)),
                                atol=1e-5)
+
+
+def test_opt350m_style_export_roundtrip(tmp_path):
+    """OPT with word_embed_proj_dim != hidden (project_in/out): export must
+    keep the narrow embedding dim (round-1 bug hardcoded hidden_size) and
+    load back through stock transformers with matching logits; a compressed
+    lm_head travels through truncation_ranks."""
+    cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=48, ffn_dim=96, num_hidden_layers=1,
+        num_attention_heads=2, max_position_embeddings=64,
+        word_embed_proj_dim=24, do_layer_norm_before=False,
+        tie_word_embeddings=False)
+    torch.manual_seed(5)
+    model = transformers.OPTForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    manifest = {}
+    for name in ("model.decoder.layers.0.fc1", "lm_head"):
+        leaf = get_linear(params, spec, name)
+        f = factorize_linear(leaf["w"], leaf["b"], 0.6, backend="exact")
+        params = set_linear(params, spec, name, lowrank_leaf(f.A, f.B, f.bias))
+        manifest[name] = f.rank
+
+    repo = str(tmp_path / "opt_repo")
+    export_hf_repo(repo, params, spec, manifest, hf_config=model.config)
+
+    import json
+    with open(f"{repo}/config.json") as f:
+        cj = json.load(f)
+    assert cj["word_embed_proj_dim"] == 24
+    assert cj["truncation_ranks"]["lm_head"] == manifest["lm_head"]
+
+    loaded = transformers.AutoModelForCausalLM.from_pretrained(
+        repo, trust_remote_code=True).eval()
+    mods = dict(loaded.named_modules())
+    assert hasattr(mods["lm_head"], "ALinear")
+    assert hasattr(mods["model.decoder.layers.0.fc1"], "ALinear")
+
+    ids = np.random.RandomState(6).randint(2, 128, size=(1, 8))
+    with torch.no_grad():
+        ref = loaded(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_gemma_export_roundtrip(tmp_path):
+    """gemma-1 was missing from _FAMILY_CLASSES in round 1 (export
+    KeyErrored); now exports and loads back through transformers."""
+    cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=64)
+    torch.manual_seed(7)
+    model = transformers.GemmaForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    name = "model.layers.0.mlp.up_proj"
+    leaf = get_linear(params, spec, name)
+    f = factorize_linear(leaf["w"], leaf["b"], 0.6, backend="exact")
+    params = set_linear(params, spec, name, lowrank_leaf(f.A, f.B, f.bias))
+
+    repo = str(tmp_path / "gemma_repo")
+    export_hf_repo(repo, params, spec, {name: f.rank}, hf_config=model.config)
+    loaded = transformers.AutoModelForCausalLM.from_pretrained(
+        repo, trust_remote_code=True).eval()
+    assert hasattr(dict(loaded.named_modules())[name], "ALinear")
+
+    ids = np.random.RandomState(8).randint(0, 128, size=(1, 8))
+    with torch.no_grad():
+        ref = loaded(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=2e-3)
