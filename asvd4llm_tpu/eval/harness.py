@@ -272,6 +272,35 @@ def load_task(name: str, num_fewshot: int = 0):
                       choices=[" " + e for e in ex["endings"]],
                       gold=int(ex["label"])) for ex in ds]
         return MCTask(name=name, docs=docs)
+    if name == "sciq":
+        ds = load_dataset("allenai/sciq")["test"]
+        docs = []
+        for ex in ds:
+            choices = [ex["distractor1"], ex["distractor2"],
+                       ex["distractor3"], ex["correct_answer"]]
+            docs.append(MCDoc(
+                query=f"{ex.get('support', '')}\nQuestion: {ex['question']}\nAnswer:",
+                choices=[" " + c for c in choices], gold=3))
+        return MCTask(name=name, docs=docs)
+    if name == "copa":
+        ds = load_dataset("super_glue", "copa")["validation"]
+        docs = []
+        for ex in ds:
+            conn = " because" if ex["question"] == "cause" else " therefore"
+            ctx = ex["premise"].rstrip(".") + conn
+            docs.append(MCDoc(
+                query=ctx,
+                choices=[" " + ex["choice1"][0].lower() + ex["choice1"][1:],
+                         " " + ex["choice2"][0].lower() + ex["choice2"][1:]],
+                gold=int(ex["label"])))
+        return MCTask(name=name, docs=docs)
+    if name == "rte":
+        ds = load_dataset("super_glue", "rte")["validation"]
+        docs = [MCDoc(
+            query=f"{ex['premise']}\nQuestion: {ex['hypothesis']} True or False?\nAnswer:",
+            choices=[" True", " False"], gold=int(ex["label"]))
+            for ex in ds]
+        return MCTask(name=name, docs=docs)
     raise NotImplementedError(f"task {name!r}")
 
 
