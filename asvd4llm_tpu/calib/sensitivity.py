@@ -220,8 +220,9 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                 continue
             backend = cfg.svd_backend
             if backend == "auto":
+                # measured crossover on v5e: svd_bench_r2.json (ops/svd.py)
                 small = (out_f * in_f <= 1024 * 1024) or \
-                    (max(ranks.values()) >= 0.25 * min(out_f, in_f))
+                    (max(ranks.values()) >= 0.5 * min(out_f, in_f))
                 backend = "exact" if small else "randomized"
             scale_vec = scale if scale is not None else \
                 jnp.ones((in_f,), jnp.float32)

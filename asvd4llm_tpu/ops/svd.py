@@ -69,13 +69,15 @@ def truncated_svd(w: jax.Array, rank: int, *, backend: str = "auto",
 
     ``backend``: "exact" | "randomized" | "auto". Auto uses the exact path
     when the matrix is small or the requested rank is a large fraction of
-    the spectrum (where subspace iteration loses accuracy and saves
-    nothing), and the randomized path for big MLP-shaped weights.
+    the spectrum. The 0.5 threshold is MEASURED on the v5e
+    (benchmarks/results/svd_bench_r2.json): randomized is 4x faster at
+    rank 0.45*min(m,n) with recomposition error within 2e-4 of exact
+    (niter=8), and only converges to exact's cost above ~0.6.
     """
     m, n = w.shape
     rank = int(min(rank, m, n))
     if backend == "auto":
-        small = (m * n <= 1024 * 1024) or (rank >= 0.25 * min(m, n))
+        small = (m * n <= 1024 * 1024) or (rank >= 0.5 * min(m, n))
         backend = "exact" if small else "randomized"
     if backend == "exact":
         return _exact_truncated_svd(w, rank)
@@ -98,7 +100,7 @@ def batched_truncated_svd(ws: jax.Array, rank: int, *, backend: str = "auto",
     L = ws.shape[0]
     if backend == "auto":
         m, n = ws.shape[1:]
-        small = (m * n <= 1024 * 1024) or (rank >= 0.25 * min(m, n))
+        small = (m * n <= 1024 * 1024) or (rank >= 0.5 * min(m, n))
         backend = "exact" if small else "randomized"
     if backend == "exact":
         return jax.vmap(lambda w: _exact_truncated_svd(w, rank))(ws)
