@@ -43,25 +43,49 @@ def layer_uses_latent_kv(layer) -> bool:
     return is_lowrank(layer["k_proj"]) and is_lowrank(layer["v_proj"])
 
 
+def layer_uses_latent_v(layer) -> bool:
+    return is_lowrank(layer["v_proj"])
+
+
 def init_caches(params, spec, batch: int, max_len: int, dtype=jnp.bfloat16,
-                *, latent: bool = False) -> list:
-    """Per-layer cache pytrees. Dense: {"k","v"} [B,T,KV,hd]. Latent (only
-    for layers whose k/v projections are low-rank): {"tk","tv"} [B,T,R]."""
+                *, latent=False) -> list:
+    """Per-layer cache pytrees.
+
+    latent=False: dense {"k","v"} [B,T,KV,hd].
+    latent=True / "kv": {"tk","tv"} rank-dim latents (layers whose k AND v
+      are low-rank); maximal memory saving, but the K-side up-projection
+      before RoPE is COMPUTE-bound at MHA-sized kv_dim (measured:
+      benchmarks/results/model_decode_bench_r2.json) — it pays at GQA
+      geometry or aggressive ranks.
+    latent="v": dense K + latent V {"k","tv"} (layers whose v is
+      low-rank). V has no RoPE so its latents absorb exactly with
+      T-independent per-step cost: strictly LESS HBM traffic than the
+      dense cache AND (kv_dim + Rv)/(2*kv_dim) memory — the safe default
+      serving point for KV-compressed MHA models."""
+    kv_heads = spec.kv_dim // spec.head_dim
     caches = []
     for layer in params["layers"]:
-        if latent and layer_uses_latent_kv(layer):
+        mode = latent if isinstance(latent, str) else ("kv" if latent else "")
+        if mode == "kv" and layer_uses_latent_kv(layer):
             rk = layer["k_proj"]["A"].shape[1]
             rv = layer["v_proj"]["A"].shape[1]
             caches.append({
                 "tk": jnp.zeros((batch, max_len, rk), dtype),
                 "tv": jnp.zeros((batch, max_len, rv), dtype),
             })
+        elif mode == "v" and layer_uses_latent_v(layer):
+            rv = layer["v_proj"]["A"].shape[1]
+            caches.append({
+                "k": jnp.zeros((batch, max_len, kv_heads, spec.head_dim),
+                               dtype),
+                "tv": jnp.zeros((batch, max_len, rv), dtype),
+            })
         else:
             caches.append({
-                "k": jnp.zeros((batch, max_len, spec.kv_dim // spec.head_dim,
-                                spec.head_dim), dtype),
-                "v": jnp.zeros((batch, max_len, spec.kv_dim // spec.head_dim,
-                                spec.head_dim), dtype),
+                "k": jnp.zeros((batch, max_len, kv_heads, spec.head_dim),
+                               dtype),
+                "v": jnp.zeros((batch, max_len, kv_heads, spec.head_dim),
+                               dtype),
             })
     return caches
 
@@ -164,6 +188,38 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
             vb = layer["v_proj"]["b"].reshape(KV, hd)
             vb = jnp.repeat(vb, rep, axis=0)
             # bias contributes sum(probs) * b = 1 * b after softmax
+            out = out + vb.astype(jnp.float32)[None]
+        out = out.astype(x.dtype).reshape(B, 1, H * hd)
+    elif "tv" in cache:  # --- dense K + absorbed latent V ("v" mode) ---
+        k_new = _apply_leaf(layer["k_proj"], x, up).reshape(B, 1, KV, hd)
+        tv_new = _latent(layer["v_proj"], x)             # [B,1,Rv]
+        if spec.pos_emb == "rope":
+            k_new = apply_rope(k_new, cos_q, sin_q)
+        k = jax.lax.dynamic_update_slice(cache["k"],
+                                         k_new.astype(cache["k"].dtype),
+                                         (0, pos, 0, 0))
+        tv = jax.lax.dynamic_update_slice(cache["tv"],
+                                          tv_new.astype(cache["tv"].dtype),
+                                          (0, pos, 0))
+        new_cache = {"k": k, "tv": tv}
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=2)
+        logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k,
+                            preferred_element_type=jnp.float32) * scale
+        if spec.attn_logit_softcap > 0:
+            logits = spec.attn_logit_softcap * jnp.tanh(
+                logits / spec.attn_logit_softcap)
+        probs = jax.nn.softmax(logits + mask, axis=-1)   # [B,H,T] f32
+        # absorbed V (identical algebra to the full-latent path): the
+        # weighted sum runs over Rv-dim latents, A_v applies to the result
+        s = jnp.einsum("bhk,bkr->bhr", probs.astype(tv.dtype), tv,
+                       preferred_element_type=jnp.float32)
+        a_v = layer["v_proj"]["A"].reshape(KV, hd, -1)
+        a_vq = jnp.repeat(a_v, rep, axis=0)
+        out = jnp.einsum("bhr,hdr->bhd", s.astype(a_vq.dtype), a_vq,
+                         preferred_element_type=jnp.float32)
+        if layer["v_proj"]["b"] is not None:
+            vb = jnp.repeat(layer["v_proj"]["b"].reshape(KV, hd), rep, axis=0)
             out = out + vb.astype(jnp.float32)[None]
         out = out.astype(x.dtype).reshape(B, 1, H * hd)
     else:  # --- dense-cache path ---
@@ -301,15 +357,21 @@ def prefill_host(params, spec, ids, caches, *, latent=False):
                                latent=False)
     logits, filled = prefill(params, spec, ids, dense_caches)
     latents = _attention_input_latents(params, spec, ids)
+
+    def padded(t, ref):
+        T = ref.shape[1]
+        return jnp.pad(t, ((0, 0), (0, T - S), (0, 0))).astype(ref.dtype)
+
     out_caches = []
     for i, cache in enumerate(caches):
         if "tk" in cache:
             tk, tv = latents[i]
-            T = cache["tk"].shape[1]
-            tk = jnp.pad(tk, ((0, 0), (0, T - S), (0, 0)))
-            tv = jnp.pad(tv, ((0, 0), (0, T - S), (0, 0)))
-            out_caches.append({"tk": tk.astype(cache["tk"].dtype),
-                               "tv": tv.astype(cache["tv"].dtype)})
+            out_caches.append({"tk": padded(tk, cache["tk"]),
+                               "tv": padded(tv, cache["tv"])})
+        elif "tv" in cache:  # dense K + latent V
+            _, tv = latents[i]
+            out_caches.append({"k": filled[i]["k"],
+                               "tv": padded(tv, cache["tv"])})
         else:
             out_caches.append(filled[i])
     return logits, out_caches
@@ -351,11 +413,12 @@ def _forward_capture_latents(params, spec, ids):
     from asvd4llm_tpu.models.decoder import _causal_mask, _layer_with_names
     latents = []
     for i, layer in enumerate(params["layers"]):
-        if layer_uses_latent_kv(layer):
+        if layer_uses_latent_v(layer):
             h = apply_norm(spec, layer["ln1"], x) if spec.family != "opt" or \
                 spec.do_layer_norm_before else x
-            latents.append((_latent(layer["k_proj"], h),
-                            _latent(layer["v_proj"], h)))
+            tk = _latent(layer["k_proj"], h) \
+                if is_lowrank(layer["k_proj"]) else None
+            latents.append((tk, _latent(layer["v_proj"], h)))
         else:
             latents.append(None)
         mask = _causal_mask(spec, i, positions, positions, None)

@@ -115,49 +115,53 @@ def main(argv=None):
         pass
 
     contexts = [int(t) for t in ns.contexts.split(",")]
-    spec = llama_spec(vocab_size=VOCAB, hidden_size=H, intermediate_size=I,
-                      num_layers=LAYERS, num_heads=32, num_kv_heads=32,
-                      head_dim=128, max_position_embeddings=max(contexts) + 64)
-    key = jax.random.PRNGKey(0)
-    dense = init_params(spec, key, dtype=jnp.bfloat16)
-    all_keys = ("q_proj", "k_proj", "v_proj", "o_proj",
-                "gate_proj", "up_proj", "down_proj")
-    lowrank = _factor_model(dense, spec, all_keys, 0.85, 128,
-                            jax.random.PRNGKey(1), jnp.bfloat16)
-    # kv-ratio 0.4 => param ratio 0.8 on square MHA k/v projections
-    latent_m = _factor_model(dense, spec, ("k_proj", "v_proj"), 0.8, 8,
-                             jax.random.PRNGKey(2), jnp.bfloat16)
-
     out = {"geometry": {"hidden": H, "inter": I, "layers": LAYERS,
-                        "vocab": VOCAB, "batch": B, "heads": 32},
-           "backend": jax.default_backend(), "contexts": {}}
-    for T in contexts:
-        pos0 = T - STEPS - 1
-        rec = {}
-        for mode, params, latent, fused in (
-                ("dense", dense, False, False),
-                ("lowrank", lowrank, False, False),
-                ("latent", latent_m, True, False),
-                ("latent_fused", latent_m, True, True)):
-            caches = init_caches(params, spec, B, T, jnp.bfloat16,
-                                 latent=latent)
-            t = _time_decode(params, spec, caches, pos0, fused)
-            rec[mode] = {
-                "step_us": round(t * 1e6, 1),
-                "tokens_per_sec": round(B / t, 1),
-                "tokens_per_sec_7b_proj": round(B / (t * FULL_7B_LAYERS
-                                                     / LAYERS), 1),
-                "cache_mb": round(cache_bytes(caches) / 2 ** 20, 1),
-            }
-            del caches
-        rec["lowrank_vs_dense"] = round(
-            rec["dense"]["step_us"] / rec["lowrank"]["step_us"], 3)
-        rec["latent_fused_vs_dense"] = round(
-            rec["dense"]["step_us"] / rec["latent_fused"]["step_us"], 3)
-        rec["latent_cache_ratio"] = round(
-            rec["latent"]["cache_mb"] / rec["dense"]["cache_mb"], 3)
-        out["contexts"][str(T)] = rec
-        print(json.dumps({str(T): rec}), flush=True)
+                        "vocab": VOCAB, "batch": B},
+           "backend": jax.default_backend(), "runs": {}}
+    # MHA = llama-2-7b heads; GQA = llama-3-8B-like kv geometry, where the
+    # latent-K up-projection is 4x cheaper and latent caching pays
+    for geo_name, kv_heads in (("mha32", 32), ("gqa8", 8)):
+        spec = llama_spec(vocab_size=VOCAB, hidden_size=H,
+                          intermediate_size=I, num_layers=LAYERS,
+                          num_heads=32, num_kv_heads=kv_heads, head_dim=128,
+                          max_position_embeddings=max(contexts) + 64)
+        key = jax.random.PRNGKey(0)
+        dense = init_params(spec, key, dtype=jnp.bfloat16)
+        all_keys = ("q_proj", "k_proj", "v_proj", "o_proj",
+                    "gate_proj", "up_proj", "down_proj")
+        lowrank = _factor_model(dense, spec, all_keys, 0.85, 128,
+                                jax.random.PRNGKey(1), jnp.bfloat16)
+        # kv-ratio 0.4 => param ratio 0.8 on square MHA k/v projections
+        latent_m = _factor_model(dense, spec, ("k_proj", "v_proj"), 0.8, 8,
+                                 jax.random.PRNGKey(2), jnp.bfloat16)
+
+        for T in contexts:
+            pos0 = T - STEPS - 1
+            rec = {}
+            for mode, params, latent, fused in (
+                    ("dense", dense, False, False),
+                    ("lowrank", lowrank, False, False),
+                    ("latent", latent_m, True, False),
+                    ("latent_fused", latent_m, True, True),
+                    ("latent_v", latent_m, "v", False)):
+                caches = init_caches(params, spec, B, T, jnp.bfloat16,
+                                     latent=latent)
+                t = _time_decode(params, spec, caches, pos0, fused)
+                rec[mode] = {
+                    "step_us": round(t * 1e6, 1),
+                    "tokens_per_sec": round(B / t, 1),
+                    "tokens_per_sec_7b_proj": round(B / (t * FULL_7B_LAYERS
+                                                         / LAYERS), 1),
+                    "cache_mb": round(cache_bytes(caches) / 2 ** 20, 1),
+                }
+                del caches
+            for m in ("lowrank", "latent_fused", "latent_v"):
+                rec[f"{m}_vs_dense"] = round(
+                    rec["dense"]["step_us"] / rec[m]["step_us"], 3)
+                rec[f"{m}_cache_ratio"] = round(
+                    rec[m]["cache_mb"] / rec["dense"]["cache_mb"], 3)
+            out["runs"][f"{geo_name}_T{T}"] = rec
+            print(json.dumps({f"{geo_name}_T{T}": rec}), flush=True)
 
     if ns.json:
         with open(ns.json, "w") as f:

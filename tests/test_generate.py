@@ -231,3 +231,46 @@ def test_generate_on_device_matches_host_loop(tiny):
     dev_l = generate_on_device(p, spec, prompt, max_new_tokens=6,
                                latent_kv=True)
     np.testing.assert_array_equal(dev_l, host_l)
+
+
+def test_latent_v_only_cache_matches_dense(tiny):
+    """latent="v" (dense K + absorbed latent V): exact algebra, so decode
+    must match the dense cache; cache memory sits between latent-kv and
+    dense. V has no RoPE, so unlike latent-K this mode adds NO
+    up-projection compute at MHA geometry."""
+    _, params, spec = tiny
+    p = _compress_kv(params, spec, ratio=1.2)
+    rng = np.random.RandomState(9)
+    ids = jnp.asarray(rng.randint(0, 128, size=(2, 8)))
+
+    c_dense = init_caches(p, spec, 2, 12, dtype=jnp.float32, latent=False)
+    c_v = init_caches(p, spec, 2, 12, dtype=jnp.float32, latent="v")
+    assert all("tv" in c and "k" in c and "v" not in c for c in c_v)
+    sz = lambda cs: sum(v.size for c in cs for v in c.values())
+    c_kv = init_caches(p, spec, 2, 12, dtype=jnp.float32, latent=True)
+    assert sz(c_kv) < sz(c_v) < sz(c_dense)
+
+    l0, c_dense = prefill_host(p, spec, ids, c_dense, latent=False)
+    l1, c_v = prefill_host(p, spec, ids, c_v, latent="v")
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), atol=1e-4,
+                               rtol=1e-3)
+    tok = jnp.argmax(l0, -1)[:, None].astype(ids.dtype)
+    for step in range(2):
+        s0, c_dense = decode_step(p, spec, tok, c_dense, 8 + step)
+        s1, c_v = decode_step(p, spec, tok, c_v, 8 + step)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   atol=1e-4, rtol=1e-3)
+        tok = jnp.argmax(s0, -1)[:, None].astype(ids.dtype)
+
+
+def test_generate_latent_v_and_on_device(tiny):
+    _, params, spec = tiny
+    p = _compress_kv(params, spec, ratio=1.0)
+    prompt = np.random.RandomState(10).randint(0, 128, size=(2, 5))
+    dense_out = generate(p, spec, prompt, max_new_tokens=6)
+    v_out = generate(p, spec, prompt, max_new_tokens=6, latent_kv="v")
+    np.testing.assert_array_equal(v_out, dense_out)
+    from asvd4llm_tpu.eval.generate import generate_on_device
+    v_dev = generate_on_device(p, spec, prompt, max_new_tokens=6,
+                               latent_kv="v")
+    np.testing.assert_array_equal(v_dev, dense_out)
