@@ -117,6 +117,39 @@ def _up_k(leaf, t, B, T, KV, hd):
     return k.astype(t.dtype).reshape(B, T, KV, hd)
 
 
+def _gqa_probs(q0, k, rep, scale, softcap, mask_t):
+    """Grouped-query attention probabilities WITHOUT materializing repeated
+    K: query heads reshape to [B, KV, rep, hd] (HF repeat_interleave order)
+    and contract against the raw [B, T, KV, hd] cache. At GQA geometry the
+    jnp.repeat alternative writes rep x the cache to HBM every step — the
+    dominant decode cost. Returns probs [B, KV, rep, T] f32."""
+    B, H, hd = q0.shape
+    KV = k.shape[2]
+    qg = q0.reshape(B, KV, rep, hd)
+    logits = jnp.einsum("bgrd,bkgd->bgrk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if softcap > 0:
+        logits = softcap * jnp.tanh(logits / softcap)
+    return jax.nn.softmax(logits + mask_t[None, None, None, :], axis=-1)
+
+
+def _absorbed_v_out(probs, tv, v_leaf, KV, hd, rep, x_dtype):
+    """Attention-weighted sum over Rv-dim latents + per-group V
+    up-projection of the result (absorbed-V algebra; O(H*hd*Rv) per step,
+    independent of context length). probs: [B, KV, rep, T]."""
+    B = probs.shape[0]
+    s = jnp.einsum("bgrk,bkv->bgrv", probs.astype(tv.dtype), tv,
+                   preferred_element_type=jnp.float32)
+    a_v = v_leaf["A"].reshape(KV, hd, -1)                # [KV, hd, Rv]
+    out = jnp.einsum("bgrv,gdv->bgrd", s.astype(a_v.dtype), a_v,
+                     preferred_element_type=jnp.float32)
+    if v_leaf["b"] is not None:
+        # bias contributes sum(probs) * b = 1 * b after softmax
+        vb = v_leaf["b"].reshape(KV, hd).astype(jnp.float32)
+        out = out + vb[None, :, None, :]
+    return out.astype(x_dtype).reshape(B, 1, KV * rep * hd)
+
+
 def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
                  up=False):
     """One-token attention (x: [B,1,H*hd]) against the cache; returns
@@ -137,7 +170,7 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
     allow = k_pos <= pos
     if spec.layer_uses_sliding(layer_idx):
         allow &= k_pos > pos - spec.sliding_window
-    mask = jnp.where(allow, 0.0, jnp.float32(-1e30))[None, None, :]  # [1,1,T]
+    mask_t = jnp.where(allow, 0.0, jnp.float32(-1e30))  # [T]
 
     if "tk" in cache:  # --- latent low-rank path ---
         tk_new = _latent(layer["k_proj"], x)            # [B,1,Rk]
@@ -169,27 +202,10 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
         k = _up_k(layer["k_proj"], tk, B, T, KV, hd)
         if spec.pos_emb == "rope":
             k = apply_rope(k, cos_full, sin_full)
-        if rep > 1:
-            k = jnp.repeat(k, rep, axis=2)
-        logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k,
-                            preferred_element_type=jnp.float32) * scale
-        if spec.attn_logit_softcap > 0:
-            logits = spec.attn_logit_softcap * jnp.tanh(
-                logits / spec.attn_logit_softcap)
-        probs = jax.nn.softmax(logits + mask, axis=-1)   # [B,H,T] f32
-        # absorbed V: s = probs @ tv  -> [B,H,Rv]; out_h = A_v[g(h)] @ s_h
-        s = jnp.einsum("bhk,bkr->bhr", probs.astype(tv.dtype), tv,
-                       preferred_element_type=jnp.float32)
-        a_v = layer["v_proj"]["A"].reshape(KV, hd, -1)   # [KV,hd,Rv]
-        a_vq = jnp.repeat(a_v, rep, axis=0)              # [H,hd,Rv]
-        out = jnp.einsum("bhr,hdr->bhd", s.astype(a_vq.dtype), a_vq,
-                         preferred_element_type=jnp.float32)
-        if layer["v_proj"]["b"] is not None:
-            vb = layer["v_proj"]["b"].reshape(KV, hd)
-            vb = jnp.repeat(vb, rep, axis=0)
-            # bias contributes sum(probs) * b = 1 * b after softmax
-            out = out + vb.astype(jnp.float32)[None]
-        out = out.astype(x.dtype).reshape(B, 1, H * hd)
+        probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
+                           mask_t)
+        out = _absorbed_v_out(probs, tv, layer["v_proj"], KV, hd, rep,
+                              x.dtype)
     elif "tv" in cache:  # --- dense K + absorbed latent V ("v" mode) ---
         k_new = _apply_leaf(layer["k_proj"], x, up).reshape(B, 1, KV, hd)
         tv_new = _latent(layer["v_proj"], x)             # [B,1,Rv]
@@ -202,26 +218,12 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
                                           tv_new.astype(cache["tv"].dtype),
                                           (0, pos, 0))
         new_cache = {"k": k, "tv": tv}
-        if rep > 1:
-            k = jnp.repeat(k, rep, axis=2)
-        logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k,
-                            preferred_element_type=jnp.float32) * scale
-        if spec.attn_logit_softcap > 0:
-            logits = spec.attn_logit_softcap * jnp.tanh(
-                logits / spec.attn_logit_softcap)
-        probs = jax.nn.softmax(logits + mask, axis=-1)   # [B,H,T] f32
         # absorbed V (identical algebra to the full-latent path): the
         # weighted sum runs over Rv-dim latents, A_v applies to the result
-        s = jnp.einsum("bhk,bkr->bhr", probs.astype(tv.dtype), tv,
-                       preferred_element_type=jnp.float32)
-        a_v = layer["v_proj"]["A"].reshape(KV, hd, -1)
-        a_vq = jnp.repeat(a_v, rep, axis=0)
-        out = jnp.einsum("bhr,hdr->bhd", s.astype(a_vq.dtype), a_vq,
-                         preferred_element_type=jnp.float32)
-        if layer["v_proj"]["b"] is not None:
-            vb = jnp.repeat(layer["v_proj"]["b"].reshape(KV, hd), rep, axis=0)
-            out = out + vb.astype(jnp.float32)[None]
-        out = out.astype(x.dtype).reshape(B, 1, H * hd)
+        probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
+                           mask_t)
+        out = _absorbed_v_out(probs, tv, layer["v_proj"], KV, hd, rep,
+                              x.dtype)
     else:  # --- dense-cache path ---
         k_new = _apply_leaf(layer["k_proj"], x, up).reshape(B, 1, KV, hd)
         v_new = _apply_leaf(layer["v_proj"], x, up).reshape(B, 1, KV, hd)
@@ -234,16 +236,9 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
                                          v_new.astype(cache["v"].dtype),
                                          (0, pos, 0, 0))
         new_cache = {"k": k, "v": v}
-        if rep > 1:
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-        logits = jnp.einsum("bhd,bkhd->bhk", q[:, 0], k,
-                            preferred_element_type=jnp.float32) * scale
-        if spec.attn_logit_softcap > 0:
-            logits = spec.attn_logit_softcap * jnp.tanh(
-                logits / spec.attn_logit_softcap)
-        probs = jax.nn.softmax(logits + mask, axis=-1)
-        out = jnp.einsum("bhk,bkhd->bhd", probs.astype(v.dtype), v,
+        probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
+                           mask_t)
+        out = jnp.einsum("bgrk,bkgd->bgrd", probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).reshape(B, 1, H * hd)
 

@@ -155,19 +155,19 @@ def _attention(spec, layer, x, layer_idx, cos, sin, mask, *, la, cache=None,
                                          (0, cache_pos, 0, 0))
         new_entry = (k, v)
 
-    if H != KV:
-        rep = H // KV
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-
+    # GQA contracts grouped query heads [B, S, KV, rep, hd] against the raw
+    # K/V (HF repeat_interleave head order) — never materializing the
+    # rep-times-repeated K/V that jnp.repeat would write to HBM
+    rep = H // KV
     scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    qg = q.reshape(B, S, KV, rep, hd)
+    logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
                         preferred_element_type=jnp.float32) * scale
     if spec.attn_logit_softcap > 0:
         logits = _softcap(logits, spec.attn_logit_softcap)
-    logits = logits + mask  # mask: [1|B, 1, Sq, Sk], additive -inf
+    logits = logits + mask[:, :, None]  # mask: [1|B, 1, Sq, Sk], additive
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+    out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(B, S, H * hd)
     o_key = "o_proj" if "o_proj" in layer else "out_proj"

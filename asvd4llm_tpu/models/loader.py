@@ -34,6 +34,17 @@ def _norm_leaf(sd, prefix, dtype, bias=True):
     return leaf
 
 
+def _t2j_raw(t, dtype):
+    """Like _t2j but WITHOUT the float() round-trip — for integer payloads
+    (packed int4 codes) whose dtype must survive the conversion."""
+    if hasattr(t, "detach"):
+        t = t.detach()
+    if hasattr(t, "cpu"):
+        t = t.cpu()
+    arr = np.asarray(t.numpy() if hasattr(t, "numpy") else t)
+    return jnp.asarray(arr, dtype=dtype)
+
+
 def _linear_leaf(sd, prefix, dtype):
     if f"{prefix}.weight" in sd:
         w = _t2j(sd[f"{prefix}.weight"], dtype)
@@ -48,6 +59,35 @@ def _linear_leaf(sd, prefix, dtype):
         bias = _t2j(sd[f"{prefix}.ALinear.bias"], dtype) \
             if f"{prefix}.ALinear.bias" in sd else None
         return lowrank_leaf(a, b_factor, bias)
+    # int8 checkpoint (our hf_repo.py ASVDQ8Linear buffer naming: per-row
+    # scale/zero) — loads straight into the fused q8 Pallas serving path
+    if f"{prefix}.A_scale" in sd:
+        from asvd4llm_tpu.models.registry import q8_lowrank_leaf
+        bias = _t2j(sd[f"{prefix}.bias"], dtype) \
+            if f"{prefix}.bias" in sd else None
+        return q8_lowrank_leaf(
+            _t2j_raw(sd[f"{prefix}.A_qweight"], jnp.int8),
+            _t2j_raw(sd[f"{prefix}.A_scale"], jnp.float32),
+            _t2j_raw(sd[f"{prefix}.A_zero"], jnp.float32),
+            _t2j_raw(sd[f"{prefix}.B_qweight"], jnp.int8),
+            _t2j_raw(sd[f"{prefix}.B_scale"], jnp.float32),
+            _t2j_raw(sd[f"{prefix}.B_zero"], jnp.float32),
+            bias)
+    # packed-int4 checkpoint (our hf_repo.py ASVDQ4Linear buffer naming):
+    # codes stay uint8, scales stay f32 — loads straight into the fused q4
+    # Pallas serving path
+    if f"{prefix}.A_qweight" in sd:
+        from asvd4llm_tpu.models.registry import q4_lowrank_leaf
+        bias = _t2j(sd[f"{prefix}.bias"], dtype) \
+            if f"{prefix}.bias" in sd else None
+        return q4_lowrank_leaf(
+            _t2j_raw(sd[f"{prefix}.A_qweight"], jnp.uint8),
+            _t2j_raw(sd[f"{prefix}.A_scales"], jnp.float32),
+            _t2j_raw(sd[f"{prefix}.A_zero_scales"], jnp.float32),
+            _t2j_raw(sd[f"{prefix}.B_qweight"], jnp.uint8),
+            _t2j_raw(sd[f"{prefix}.B_scales"], jnp.float32),
+            _t2j_raw(sd[f"{prefix}.B_zero_scales"], jnp.float32),
+            bias)
     raise KeyError(f"no weights for linear {prefix!r} in state dict")
 
 

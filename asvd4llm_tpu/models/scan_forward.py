@@ -82,18 +82,19 @@ def _attention_scan(spec, layer, x, cos, sin, mask):
     if spec.pos_emb == "rope":
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    if H != KV:
-        k = jnp.repeat(k, H // KV, axis=2)
-        v = jnp.repeat(v, H // KV, axis=2)
+    # grouped-head GQA contraction against raw K/V (no materialized repeat;
+    # see models/decoder.py::_attention)
+    rep = H // KV
     scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    qg = q.reshape(B, S, KV, rep, hd)
+    logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
                         preferred_element_type=jnp.float32) * scale
     if spec.attn_logit_softcap > 0:
         logits = spec.attn_logit_softcap * jnp.tanh(
             logits / spec.attn_logit_softcap)
-    probs = jax.nn.softmax((logits + mask).astype(jnp.float32),
+    probs = jax.nn.softmax((logits + mask[:, :, None]).astype(jnp.float32),
                            axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+    out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(B, S, H * hd)
     o_key = "o_proj" if "o_proj" in layer else "out_proj"

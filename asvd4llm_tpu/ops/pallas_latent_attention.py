@@ -211,12 +211,13 @@ def latent_decode_attention(q_rot, tk, tv, a_k, a_v, cos_full, sin_full,
         softcap=softcap, sliding=sliding, kv_heads=KV, head_dim=hd, tt=tt,
         interpret=interpret)                                # [B, H, Rv]
 
-    # final V up-projection, head-grouped: out_h = s_h @ A_v[g(h)]^T
+    # final V up-projection, head-grouped: out_h = s_h @ A_v[g(h)]^T —
+    # contracted per kv group, never materializing the repeated A_v
     a_v3 = a_v.reshape(KV, hd, Rv)
-    a_vq = jnp.repeat(a_v3, rep, axis=0)                    # [H, hd, Rv]
-    out = jnp.einsum("bhr,hdr->bhd", s_norm, a_vq.astype(jnp.float32),
+    sg = s_norm.reshape(B, KV, rep, Rv)
+    out = jnp.einsum("bgrv,gdv->bgrd", sg, a_v3.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     if v_bias is not None:
-        vb = jnp.repeat(v_bias.reshape(KV, hd), rep, axis=0)
-        out = out + vb.astype(jnp.float32)[None]
+        vb = v_bias.reshape(KV, hd).astype(jnp.float32)
+        out = out + vb[None, :, None, :]
     return out.reshape(B, H * hd)

@@ -258,8 +258,11 @@ def main():
         except Exception as e:  # keep the headline metric robust
             print(f"int8 path failed: {e}", file=sys.stderr)
         try:
+            from asvd4llm_tpu.ops.pallas_lowrank import _round_up
             packs4, layer_q4, Hp = _build_q4_layer()
-            t_q4 = scan_timer(layer_q4, packs4, xp)
+            mp = _round_up(BATCH, 16)
+            xp4 = jnp.pad(x, ((0, mp - BATCH), (0, Hp - H)))
+            t_q4 = scan_timer(layer_q4, packs4, xp4)
         except Exception as e:
             print(f"int4 path failed: {e}", file=sys.stderr)
 
@@ -291,6 +294,10 @@ def main():
         detail["int8_lowrank_layer_us"] = round(t_q8 * 1e6, 1)
         detail["int8_lowrank_tokens_per_sec"] = round(BATCH / t_q8, 1)
         detail["int8_vs_dense"] = round(t_dense / t_q8, 4)
+    if t_q4 is not None:
+        detail["int4_lowrank_layer_us"] = round(t_q4 * 1e6, 1)
+        detail["int4_lowrank_tokens_per_sec"] = round(BATCH / t_q4, 1)
+        detail["int4_vs_dense"] = round(t_dense / t_q4, 4)
     print(json.dumps({
         "metric": "llama7b_layer_decode_tokens_per_sec_lowrank_r0.85",
         "value": round(toks_lr, 1),

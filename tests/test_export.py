@@ -101,6 +101,86 @@ def test_load_factored_hf_repo_back_into_pytree(compressed, tmp_path):
                                atol=1e-5)
 
 
+def test_int4_export_roundtrip(compressed, tmp_path):
+    """Packed-int4 HF export (the reference ships AWQ w4 via external CUDA
+    kernels, ref quantization.py:269; here the repo itself stores 4-bit
+    codes): config carries asvd_int4, the generated ASVDQ4Linear loads and
+    reproduces our q4 forward, and the repo loads back into q4 leaves."""
+    import json
+
+    from asvd4llm_tpu.models.loader import load_model_native
+    from asvd4llm_tpu.models.registry import is_q4_lowrank
+    from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int4
+
+    hf_config, params, spec, manifest = compressed
+    q4 = quantize_lowrank_factors_int4(params, spec)
+    repo = str(tmp_path / "int4_repo")
+    export_hf_repo(repo, q4, spec, manifest, hf_config=hf_config)
+
+    with open(f"{repo}/config.json") as f:
+        cj = json.load(f)
+    assert set(cj["asvd_int4"]["layers"]) == set(manifest)
+    assert cj["asvd_int4"]["group"] == 128
+
+    loaded = transformers.AutoModelForCausalLM.from_pretrained(
+        repo, trust_remote_code=True).eval()
+    mods = dict(loaded.named_modules())
+    gp = mods["model.layers.0.mlp.gate_proj"]
+    assert gp.A_qweight.dtype == torch.uint8  # real 4-bit storage
+    assert gp.B_qweight.dtype == torch.uint8
+
+    ids = np.random.RandomState(2).randint(0, 128, size=(1, 10))
+    with torch.no_grad():
+        ref = loaded(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(q4, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+    # native (torch-free) load back into our pytree: q4 leaves intact,
+    # identical logits through the fused-q4 dispatch path
+    p2, spec2 = load_model_native(repo, dtype=jnp.float32)
+    for name in manifest:
+        assert is_q4_lowrank(get_linear(p2, spec2, name)), name
+    np.testing.assert_allclose(
+        np.asarray(forward(p2, jnp.asarray(ids), spec2)), ours, atol=1e-5)
+
+
+def test_int8_export_roundtrip(compressed, tmp_path):
+    """Int8-factor HF export: config carries asvd_int8, the generated
+    ASVDQ8Linear reproduces our q8 forward, and the repo loads back into
+    q8 leaves for the fused q8 serving path."""
+    import json
+
+    from asvd4llm_tpu.models.loader import load_model_native
+    from asvd4llm_tpu.models.registry import is_q8_lowrank
+    from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int8
+
+    hf_config, params, spec, manifest = compressed
+    q8 = quantize_lowrank_factors_int8(params, spec)
+    repo = str(tmp_path / "int8_repo")
+    export_hf_repo(repo, q8, spec, manifest, hf_config=hf_config)
+
+    with open(f"{repo}/config.json") as f:
+        cj = json.load(f)
+    assert set(cj["asvd_int8"]["layers"]) == set(manifest)
+
+    loaded = transformers.AutoModelForCausalLM.from_pretrained(
+        repo, trust_remote_code=True).eval()
+    gp = dict(loaded.named_modules())["model.layers.0.mlp.gate_proj"]
+    assert gp.A_qweight.dtype == torch.int8
+
+    ids = np.random.RandomState(4).randint(0, 128, size=(1, 10))
+    with torch.no_grad():
+        ref = loaded(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(q8, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+    p2, spec2 = load_model_native(repo, dtype=jnp.float32)
+    for name in manifest:
+        assert is_q8_lowrank(get_linear(p2, spec2, name)), name
+    np.testing.assert_allclose(
+        np.asarray(forward(p2, jnp.asarray(ids), spec2)), ours, atol=1e-5)
+
+
 def test_opt350m_style_export_roundtrip(tmp_path):
     """OPT with word_embed_proj_dim != hidden (project_in/out): export must
     keep the narrow embedding dim (round-1 bug hardcoded hidden_size) and
