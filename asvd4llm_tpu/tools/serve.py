@@ -29,9 +29,13 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--native", action="store_true",
                    help="load an Orbax+manifest checkpoint")
-    p.add_argument("--latent_kv", action="store_true",
-                   help="use the rank-dim latent KV cache (auto for layers "
-                        "with low-rank k/v)")
+    p.add_argument("--latent_kv", nargs="?", const="kv", default=False,
+                   choices=["kv", "v"],
+                   help="latent cache mode: 'kv' = rank-dim k+v latents "
+                        "(max memory saving; pays at GQA geometry), 'v' = "
+                        "dense K + latent V (smaller AND faster at MHA "
+                        "geometry — see DESIGN.md §7). Bare --latent_kv "
+                        "means 'kv'. Applies to layers with low-rank k/v.")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas decode kernels")
     p.add_argument("--dtype", default="bfloat16")

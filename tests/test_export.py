@@ -223,6 +223,43 @@ def test_opt350m_style_export_roundtrip(tmp_path):
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
 
 
+def test_qwen2_export_roundtrip(tmp_path):
+    """qwen2 (GQA + q/k/v biases) must export with Qwen2 classes — the
+    internal spec.family is "llama", but a Llama skeleton has no q/k/v
+    bias params and would reject the state dict. Factoring q_proj also
+    checks the bias rides ALinear through export."""
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=96, tie_word_embeddings=False)
+    torch.manual_seed(11)
+    model = transformers.Qwen2ForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    manifest = {}
+    for name in ("model.layers.0.self_attn.q_proj",
+                 "model.layers.1.mlp.down_proj"):
+        leaf = get_linear(params, spec, name)
+        f = factorize_linear(leaf["w"], leaf["b"], 0.6, backend="exact")
+        params = set_linear(params, spec, name, lowrank_leaf(f.A, f.B, f.bias))
+        manifest[name] = f.rank
+
+    repo = str(tmp_path / "qwen2_repo")
+    export_hf_repo(repo, params, spec, manifest, hf_config=model.config)
+    loaded = transformers.AutoModelForCausalLM.from_pretrained(
+        repo, trust_remote_code=True).eval()
+    mods = dict(loaded.named_modules())
+    qp = mods["model.layers.0.self_attn.q_proj"]
+    assert hasattr(qp, "ALinear") and qp.ALinear.bias is not None
+    # undecomposed k_proj keeps its qwen2 bias
+    assert mods["model.layers.0.self_attn.k_proj"].bias is not None
+
+    ids = np.random.RandomState(12).randint(0, 128, size=(1, 9))
+    with torch.no_grad():
+        ref = loaded(torch.from_numpy(ids.copy())).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids), spec))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_gemma_export_roundtrip(tmp_path):
     """gemma-1 was missing from _FAMILY_CLASSES in round 1 (export
     KeyErrored); now exports and loads back through transformers."""
