@@ -212,11 +212,14 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
             codes = nib[:, (k % ngh) * group:(k % ngh + 1) * group]
             xg = x_ref[:, k * group:(k + 1) * group].astype(jnp.float32)
             partial = jax.lax.dot_general(
-                xg, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+                xg, codes,
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             xs = jnp.sum(xg, axis=1, keepdims=True)      # [M, 1]
-            t_acc[:] += partial * bs_ref[:, k][None, :] \
-                - xs * bzs_ref[:, k][None, :]
+            # B scales ride in the [nk, 8-padded group, R] tile layout
+            # (Mosaic rejects an (R, tk/group) block: tk/group < 8 lanes)
+            t_acc[:] += partial * bs_ref[0, k, :][None, :] \
+                - xs * bzs_ref[0, k, :][None, :]
 
     @pl.when(g >= nk)
     def _():
@@ -234,7 +237,8 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
             codes = nib[:, c0:c0 + group]        # [TN, group]
             tg = t_acc[:, g2 * group:(g2 + 1) * group]
             partial = jax.lax.dot_general(
-                tg, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+                tg, codes,
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             y_acc[:] += partial * as_ref[:, g2][None, :] \
                 - jnp.sum(tg, axis=1, keepdims=True) * azs_ref[:, g2][None, :]
@@ -253,6 +257,16 @@ def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
     R = b4.shape[0]
     nk, nn = _cdiv(K, tk), _cdiv(N, tn)
     gk = tk // group            # scale cols per K tile
+    gkp = _round_up(gk, 8)      # sublane-aligned group rows per tile
+
+    # B scales -> per-K-tile 3D layout [nk, gkp, R]: a (1, gkp, R) block
+    # satisfies Mosaic tiling ((R, gk) blocks do not: gk < 8 lanes), and
+    # the kernel reads scale row k of its tile statically
+    def _tile3(s):
+        s3 = s.T.reshape(nk, gk, R)
+        return jnp.pad(s3, ((0, 0), (0, gkp - gk), (0, 0)))
+
+    bsc3, bzs3 = _tile3(bsc), _tile3(bzs)
 
     grid_spec = pl.GridSpec(
         grid=(nk + nn,),
@@ -263,9 +277,11 @@ def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, tk // 2), lambda g: (0, jnp.minimum(g, nk - 1)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, gk), lambda g: (0, jnp.minimum(g, nk - 1)),
+            pl.BlockSpec((1, gkp, R),
+                         lambda g: (jnp.minimum(g, nk - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, gk), lambda g: (0, jnp.minimum(g, nk - 1)),
+            pl.BlockSpec((1, gkp, R),
+                         lambda g: (jnp.minimum(g, nk - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, R // 2), lambda g: (jnp.maximum(g - nk, 0), 0),
                          memory_space=pltpu.VMEM),
@@ -295,7 +311,7 @@ def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, b4, bsc, bzs, a4, asc, azs, bias)
+    )(x, b4, bsc3, bzs3, a4, asc, azs, bias)
 
 
 def fused_lowrank_apply_q4(x, a4, asc, azs, b4, bsc, bzs, bias=None, *,
