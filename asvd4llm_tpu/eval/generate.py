@@ -122,7 +122,8 @@ def _gqa_probs(q0, k, rep, scale, softcap, mask_t):
     K: query heads reshape to [B, KV, rep, hd] (HF repeat_interleave order)
     and contract against the raw [B, T, KV, hd] cache. At GQA geometry the
     jnp.repeat alternative writes rep x the cache to HBM every step — the
-    dominant decode cost. Returns probs [B, KV, rep, T] f32."""
+    dominant decode cost. mask_t: [T] shared or [B, T] per-sequence
+    (ragged paged decode). Returns probs [B, KV, rep, T] f32."""
     B, H, hd = q0.shape
     KV = k.shape[2]
     qg = q0.reshape(B, KV, rep, hd)
@@ -130,7 +131,9 @@ def _gqa_probs(q0, k, rep, scale, softcap, mask_t):
                         preferred_element_type=jnp.float32) * scale
     if softcap > 0:
         logits = softcap * jnp.tanh(logits / softcap)
-    return jax.nn.softmax(logits + mask_t[None, None, None, :], axis=-1)
+    mask = mask_t[None, None, None, :] if mask_t.ndim == 1 \
+        else mask_t[:, None, None, :]
+    return jax.nn.softmax(logits + mask, axis=-1)
 
 
 def _absorbed_v_out(probs, tv, v_leaf, KV, hd, rep, x_dtype):
@@ -247,12 +250,17 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
 
 
 def _decode_layer(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
-                  up=False):
+                  up=False, attend=None):
+    """One decoder layer at decode time. `attend` lets callers swap the
+    attention/cache implementation (serving/paged.py passes its paged
+    attention with per-sequence positions); the MLP/norm plumbing is
+    identical for every cache layout."""
+    attend = attend or _attend_step
     if spec.family == "opt":
         residual = x
         h = apply_norm(spec, layer["ln1"], x) if spec.do_layer_norm_before else x
-        attn, new_cache = _attend_step(spec, layer, h, cache, pos, cos_full,
-                                       sin_full, layer_idx, up=up)
+        attn, new_cache = attend(spec, layer, h, cache, pos, cos_full,
+                                 sin_full, layer_idx, up=up)
         x = residual + attn
         if not spec.do_layer_norm_before:
             x = apply_norm(spec, layer["ln1"], x)
@@ -266,8 +274,8 @@ def _decode_layer(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
 
     residual = x
     h = apply_norm(spec, layer["ln1"], x)
-    attn, new_cache = _attend_step(spec, layer, h, cache, pos, cos_full,
-                                   sin_full, layer_idx, up=up)
+    attn, new_cache = attend(spec, layer, h, cache, pos, cos_full,
+                             sin_full, layer_idx, up=up)
     if spec.post_attn_out_norm:
         attn = apply_norm(spec, layer["ln1_post"], attn)
     x = residual + attn

@@ -40,31 +40,21 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _kernel(pos_ref, q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
-            out_ref, m_ref, l_ref, s_ref,
-            *, nT, TT, KV, rep, hd, scale, softcap, sliding):
-    """Grid: (B, nT). Scratch m/l/s persist across the T dimension and are
-    reset at ti == 0 (grid is sequential, row-major: all tiles of batch b
-    run before batch b+1)."""
-    ti = pl.program_id(1)
-    H = KV * rep
-
-    @pl.when(ti == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, -1e30)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        s_ref[:] = jnp.zeros_like(s_ref)
-
-    pos = pos_ref[0, 0]
-
+def _online_tile(q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
+                 m_ref, l_ref, s_ref, *, pos, k_pos0, TT, KV, rep, hd,
+                 scale, softcap, sliding):
+    """One flash-decoding tile update (shared by the flat and the paged
+    kernel): up-project the latent tile, RoPE it, q·K, online softmax,
+    absorbed-V numerator. `pos` is the (per-sequence) query position and
+    `k_pos0` the absolute position of the tile's first key."""
     # 1) up-project latents to key space: [TT, Rk] @ [Rk, KV*hd]
     k_flat = jax.lax.dot_general(
         tk_ref[0], ak_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [TT, KV*hd]
 
-    # 2) RoPE entirely in 2D (Mosaic-friendly): cos/sin arrive pre-tiled
-    # to [TT, KV*hd]; rotate-half is per-head static slicing + concat
+    # 2) RoPE entirely in 2D (Mosaic-friendly): cos/sin arrive per tile;
+    # rotate-half is per-head static slicing + concat
     halves = []
     for g in range(KV):
         a = k_flat[:, g * hd:g * hd + hd // 2]
@@ -92,7 +82,7 @@ def _kernel(pos_ref, q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
         logits = softcap * jnp.tanh(logits / softcap)
 
     # 4) causal (+ sliding) mask over absolute key positions
-    k_pos = ti * TT + jax.lax.broadcasted_iota(jnp.int32, (1, TT), 1)
+    k_pos = k_pos0 + jax.lax.broadcasted_iota(jnp.int32, (1, TT), 1)
     allow = k_pos <= pos
     if sliding > 0:
         allow &= k_pos > pos - sliding
@@ -113,9 +103,59 @@ def _kernel(pos_ref, q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
         preferred_element_type=jnp.float32)
     s_ref[:] = s_ref[:] * corr[:, None] + s_tile
 
-    # 7) final normalize on the last tile (the A_v up-projection is tiny
+
+def _kernel(pos_ref, q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
+            out_ref, m_ref, l_ref, s_ref,
+            *, nT, TT, KV, rep, hd, scale, softcap, sliding):
+    """Grid: (B, nT). Scratch m/l/s persist across the T dimension and are
+    reset at ti == 0 (grid is sequential, row-major: all tiles of batch b
+    run before batch b+1)."""
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    _online_tile(q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
+                 m_ref, l_ref, s_ref, pos=pos_ref[0, 0], k_pos0=ti * TT,
+                 TT=TT, KV=KV, rep=rep, hd=hd, scale=scale, softcap=softcap,
+                 sliding=sliding)
+
+    # final normalize on the last tile (the A_v up-projection is tiny
     # and head-grouped; it runs outside the kernel)
     @pl.when(ti == nT - 1)
+    def _():
+        out_ref[0] = (s_ref[:] / l_ref[:, 0][:, None]).astype(out_ref.dtype)
+
+
+def _paged_kernel(pt_ref, pos_ref, q_ref, tk_ref, tv_ref, ak_ref, cos_ref,
+                  sin_ref, out_ref, m_ref, l_ref, s_ref,
+                  *, nP, P, KV, rep, hd, scale, softcap, sliding):
+    """Paged variant: grid (B, nP) over LOGICAL pages; the BlockSpec index
+    maps already resolved logical -> physical pages through the prefetched
+    page table, so tk_ref/tv_ref hold the right pool page. Per-sequence
+    `pos` makes the batch ragged; pages past a sequence's length skip all
+    compute (their page-table entries point at the reserved scratch page)."""
+    b = pl.program_id(0)
+    pi = pl.program_id(1)
+    pos = pos_ref[b]
+
+    @pl.when(pi == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    @pl.when(pi * P <= pos)      # live page for this sequence
+    def _():
+        _online_tile(q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
+                     m_ref, l_ref, s_ref, pos=pos, k_pos0=pi * P,
+                     TT=P, KV=KV, rep=rep, hd=hd, scale=scale,
+                     softcap=softcap, sliding=sliding)
+
+    @pl.when(pi == nP - 1)
     def _():
         out_ref[0] = (s_ref[:] / l_ref[:, 0][:, None]).astype(out_ref.dtype)
 
@@ -179,6 +219,87 @@ def _latent_attention_core(q_rot, tk, tv, a_k, cos_full, sin_full, pos, *,
         interpret=interpret,
     )(jnp.asarray([[pos]], jnp.int32), q_rot, tk, tv, a_k, cos_full,
       sin_full)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "sliding",
+                                             "kv_heads", "head_dim",
+                                             "interpret"))
+def _paged_latent_core(q_rot, tk_pool, tv_pool, a_k, cos_full, sin_full,
+                       page_table, positions, *, scale, softcap, sliding,
+                       kv_heads, head_dim, interpret=False):
+    """Paged flash-decoding core: the page table rides as a SCALAR-PREFETCH
+    operand, so each grid step's BlockSpec index map resolves logical page
+    (b, p) to physical pool page page_table[b, p] — the kernel streams
+    exactly the pages each sequence owns, never gathering the pool to a
+    [B, T] copy in HBM (the XLA fallback in serving/paged.py does, costing
+    2x cache traffic).
+
+    q_rot [B, H, hd]; tk_pool [NP, P, Rk]; tv_pool [NP, P, Rv];
+    page_table [B, MP] int32; positions [B] int32 (ragged);
+    cos/sin [MP*P, hd] -> s_norm [B, H, Rv]."""
+    B, H, hd = q_rot.shape
+    KV = kv_heads
+    rep = H // KV
+    P = tk_pool.shape[1]
+    MP = page_table.shape[1]
+    Rk, Rv = tk_pool.shape[2], tv_pool.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, MP),
+        scratch_shapes=[
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, Rv), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, H, hd), lambda b, p, pt, pos: (b, 0, 0)),
+            pl.BlockSpec((1, P, Rk), lambda b, p, pt, pos: (pt[b, p], 0, 0)),
+            pl.BlockSpec((1, P, Rv), lambda b, p, pt, pos: (pt[b, p], 0, 0)),
+            pl.BlockSpec((KV * hd, Rk), lambda b, p, pt, pos: (0, 0)),
+            pl.BlockSpec((P, hd), lambda b, p, pt, pos: (p, 0)),
+            pl.BlockSpec((P, hd), lambda b, p, pt, pos: (p, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, Rv), lambda b, p, pt, pos: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_paged_kernel, nP=MP, P=P, KV=KV, rep=rep, hd=hd,
+                          scale=scale, softcap=softcap, sliding=sliding),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Rv), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(page_table, positions, q_rot, tk_pool, tv_pool, a_k,
+      cos_full.astype(jnp.float32), sin_full.astype(jnp.float32))
+
+
+def paged_latent_decode_attention(q_rot, tk_pool, tv_pool, a_k, a_v,
+                                  cos_full, sin_full, page_table, positions,
+                                  *, kv_heads, scale, softcap=0.0, sliding=0,
+                                  v_bias=None, interpret=False):
+    """Paged counterpart of latent_decode_attention: latents live in a page
+    pool indexed through page_table, positions are per-sequence (ragged).
+    Returns attention output [B, H*hd] (pre-o_proj)."""
+    B, H, hd = q_rot.shape
+    KV = kv_heads
+    rep = H // KV
+    Rv = tv_pool.shape[2]
+
+    s_norm = _paged_latent_core(
+        q_rot, tk_pool, tv_pool, a_k, cos_full, sin_full,
+        jnp.asarray(page_table, jnp.int32), jnp.asarray(positions, jnp.int32),
+        scale=scale, softcap=softcap, sliding=sliding, kv_heads=KV,
+        head_dim=hd, interpret=interpret)                   # [B, H, Rv]
+
+    a_v3 = a_v.reshape(KV, hd, Rv)
+    sg = s_norm.reshape(B, KV, rep, Rv)
+    out = jnp.einsum("bgrv,gdv->bgrd", sg, a_v3.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    if v_bias is not None:
+        vb = v_bias.reshape(KV, hd).astype(jnp.float32)
+        out = out + vb[None, :, None, :]
+    return out.reshape(B, H * hd)
 
 
 def latent_decode_attention(q_rot, tk, tv, a_k, a_v, cos_full, sin_full,

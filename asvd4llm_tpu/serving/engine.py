@@ -1,0 +1,177 @@
+"""Continuous-batching greedy engine over the paged KV pool.
+
+Host-side orchestration (admission, page allocation, EOS retirement) around
+one jitted `paged_decode_step` whose shapes never change: [max_batch] slots,
+[max_batch, max_pages] page table. Sequences of different lengths decode in
+the SAME step — each row carries its own position, new requests join as
+slots free up, and a finished request's pages return to the pool
+immediately. The reference has no serving stack (SURVEY §2.3/§5.7); this is
+the TPU-native one the paged layout exists for.
+
+Page 0 is reserved as scratch: inactive slots point their whole page table
+at it, so their masked writes never touch a live page.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from asvd4llm_tpu.serving.paged import (
+    init_paged_pools, paged_decode_step, pages_needed, prefill_into_pages,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class _Request:
+    rid: int
+    prompt: np.ndarray            # [S]
+    max_new_tokens: int
+    tokens: list = field(default_factory=list)   # generated so far
+    pages: list = field(default_factory=list)    # owned pool pages
+    slot: int = -1
+    done: bool = False
+
+
+class PagedEngine:
+    """Greedy continuous-batching server over paged caches.
+
+    Usage:
+        eng = PagedEngine(params, spec, latent=True)
+        rid = eng.add_request(prompt_ids, max_new_tokens=32)
+        eng.run()                  # or step() incrementally
+        eng.result(rid)            # -> np.ndarray of generated tokens
+    """
+
+    def __init__(self, params, spec, *, max_batch: int = 4,
+                 page_size: int = 64, num_pages: int = 128,
+                 max_pages_per_seq: int = 8, latent=False,
+                 eos_token_id=None, dtype=jnp.float32):
+        self.params, self.spec = params, spec
+        self.page_size = page_size
+        self.eos_token_id = eos_token_id
+        self.pools = init_paged_pools(params, spec, num_pages, page_size,
+                                      dtype, latent=latent)
+        self.page_table = np.zeros((max_batch, max_pages_per_seq), np.int32)
+        self.positions = np.zeros((max_batch,), np.int32)
+        self.cur_token = np.zeros((max_batch, 1), np.int32)
+        self.slots: list[_Request | None] = [None] * max_batch
+        # page 0 is the reserved scratch page for inactive slots
+        self.free_pages = list(range(num_pages - 1, 0, -1))
+        self.waiting: list[_Request] = []
+        self.requests: dict[int, _Request] = {}
+        self._next_rid = 0
+
+    # ------------------------------------------------------------ admin --
+
+    def add_request(self, prompt_ids, max_new_tokens: int = 32) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, np.asarray(prompt_ids, np.int32).reshape(-1),
+                       max_new_tokens)
+        self.requests[rid] = req
+        self.waiting.append(req)
+        self._admit()
+        return rid
+
+    def result(self, rid: int) -> np.ndarray:
+        return np.asarray(self.requests[rid].tokens, np.int32)
+
+    def all_done(self) -> bool:
+        return not self.waiting and all(s is None for s in self.slots)
+
+    def _alloc(self, n: int) -> list:
+        if len(self.free_pages) < n:
+            raise RuntimeError(
+                f"page pool exhausted ({n} needed, {len(self.free_pages)} "
+                f"free) — raise num_pages or lower concurrency")
+        return [self.free_pages.pop() for _ in range(n)]
+
+    def _admit(self):
+        """Move waiting requests into free slots (prefill writes pages)."""
+        for slot in range(len(self.slots)):
+            if self.slots[slot] is not None or not self.waiting:
+                continue
+            req = self.waiting.pop(0)
+            S = len(req.prompt)
+            n = pages_needed(S, self.page_size)
+            if n > self.page_table.shape[1]:
+                raise ValueError(f"prompt needs {n} pages > max_pages_per_seq")
+            req.pages = self._alloc(n)
+            req.slot = slot
+            logits, self.pools = prefill_into_pages(
+                self.params, self.spec, jnp.asarray(req.prompt[None, :]),
+                self.pools, req.pages)
+            first = int(np.asarray(logits)[0].argmax())
+            req.tokens.append(first)
+            self.slots[slot] = req
+            self.page_table[slot, :] = 0
+            self.page_table[slot, :n] = req.pages
+            self.positions[slot] = S
+            self.cur_token[slot, 0] = first
+            if self._finished(req):
+                self._retire(req)
+
+    def _finished(self, req: _Request) -> bool:
+        if len(req.tokens) >= req.max_new_tokens:
+            return True
+        return (self.eos_token_id is not None
+                and req.tokens and req.tokens[-1] == self.eos_token_id)
+
+    def _retire(self, req: _Request):
+        slot = req.slot
+        req.done = True
+        self.free_pages.extend(req.pages)
+        req.pages = []
+        self.slots[slot] = None
+        self.page_table[slot, :] = 0     # scratch page for the idle slot
+        self.positions[slot] = 0
+        self.cur_token[slot, 0] = 0
+        self._admit()
+
+    # ------------------------------------------------------------- step --
+
+    def step(self):
+        """Decode one token for every active slot (ragged positions)."""
+        active = [s for s in self.slots if s is not None]
+        if not active:
+            return
+        # grow page tables where the next position opens a new page
+        for req in active:
+            p = int(self.positions[req.slot])
+            page_idx = p // self.page_size
+            if page_idx >= self.page_table.shape[1]:
+                raise RuntimeError(
+                    f"request {req.rid} exceeded max_pages_per_seq")
+            if self.page_table[req.slot, page_idx] == 0:
+                new_page = self._alloc(1)[0]
+                req.pages.append(new_page)
+                self.page_table[req.slot, page_idx] = new_page
+
+        logits, self.pools = paged_decode_step(
+            self.params, self.spec, jnp.asarray(self.cur_token),
+            self.pools, jnp.asarray(self.page_table),
+            jnp.asarray(self.positions))
+        next_tokens = np.asarray(logits).argmax(axis=-1)
+
+        for req in list(active):
+            tok = int(next_tokens[req.slot])
+            req.tokens.append(tok)
+            self.positions[req.slot] += 1
+            self.cur_token[req.slot, 0] = tok
+            if self._finished(req):
+                self._retire(req)
+
+    def run(self, max_steps: int = 10_000):
+        steps = 0
+        while not self.all_done():
+            self.step()
+            steps += 1
+            if steps > max_steps:
+                raise RuntimeError("run() exceeded max_steps")

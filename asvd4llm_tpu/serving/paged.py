@@ -1,0 +1,245 @@
+"""Paged low-rank KV cache (BASELINE.json north star: "paged low-rank KV
+layout").
+
+The flat caches in eval/generate.py preallocate [B, max_len, ...] per
+sequence — fine for lockstep eval, wasteful for serving mixed-length
+requests. Here cache memory is a POOL of fixed-size pages shared by all
+sequences (the vLLM PagedAttention layout, expressed TPU-first):
+
+  pool      [num_pages, page, ...]   one array per layer per cache kind
+  page_table[B, max_pages] int32     logical page p of sequence b -> pool id
+  positions [B] int32                per-sequence decode position (ragged!)
+
+All three cache layouts page identically: dense {k, v}, latent {tk, tv}
+(rank-dim latents, REALIZED KV compression), and latent-V-only {k, tv}.
+Page 0 is a reserved scratch page: inactive batch rows point every logical
+page at it, so their (masked, ignored) writes never touch live data.
+
+Reads gather pages into the [B, T, ...] view XLA fuses into the attention
+contraction; writes are one scatter per layer per step at
+(page_table[b, pos_b // page], pos_b % page). Attention itself reuses the
+grouped-GQA helpers from eval/generate.py with a per-sequence [B, T] mask —
+positions are ragged, which is the point of paging (continuous batching
+lives in serving/engine.py).
+
+The reference has no serving stack at all — its KV story is rank
+accounting only (ref binary_search.py:94-96, SURVEY §3.3/§5.7); this
+realizes it at serving granularity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from asvd4llm_tpu.eval.generate import (
+    _absorbed_v_out, _apply_leaf, _decode_layer, _gqa_probs, _latent, _up_k,
+    init_caches, layer_uses_latent_kv, layer_uses_latent_v, prefill_host,
+)
+from asvd4llm_tpu.models.decoder import apply_lm_head, apply_norm, apply_rope, rope_cos_sin
+
+
+def pages_needed(n_tokens: int, page_size: int) -> int:
+    return -(-n_tokens // page_size)
+
+
+def init_paged_pools(params, spec, num_pages: int, page_size: int,
+                     dtype=jnp.bfloat16, *, latent=False) -> list:
+    """Per-layer page pools; layout mirrors eval.generate.init_caches with
+    the leading [B, max_len] replaced by [num_pages, page_size]."""
+    flat = init_caches(params, spec, num_pages, page_size, dtype,
+                       latent=latent)
+    # init_caches builds [num_pages, page_size, ...] directly when batch is
+    # interpreted as the page axis — shapes are identical.
+    return flat
+
+
+def _flat_view(pool_arr, page_table):
+    """pool [NP, P, ...] + page_table [B, MP] -> [B, MP*P, ...] gather."""
+    g = pool_arr[page_table]                      # [B, MP, P, ...]
+    B, MP, P = g.shape[0], g.shape[1], g.shape[2]
+    return g.reshape(B, MP * P, *pool_arr.shape[2:])
+
+
+def _scatter_token(pool_arr, page_table, positions, val):
+    """Write one token's value per sequence: val [B, ...] lands at
+    (page_table[b, pos_b // P], pos_b % P)."""
+    P = pool_arr.shape[1]
+    pages = jnp.take_along_axis(page_table, (positions // P)[:, None],
+                                axis=1)[:, 0]                # [B]
+    slots = positions % P
+    return pool_arr.at[pages, slots].set(val.astype(pool_arr.dtype))
+
+
+def _rope_one(x, cos_b, sin_b):
+    """Per-sequence single-position RoPE: x [B, KV, hd], cos/sin [B, hd]."""
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    c = cos_b[:, None, :].astype(jnp.float32)
+    s = sin_b[:, None, :].astype(jnp.float32)
+    return (x.astype(jnp.float32) * c + rot.astype(jnp.float32) * s
+            ).astype(x.dtype)
+
+
+def _paged_attend(spec, layer, x, cache, positions, cos_full, sin_full,
+                  layer_idx, up=False):
+    """Paged mirror of eval.generate._attend_step with per-sequence
+    positions. cache = {"pools": per-layer pool dict, "pt": page_table}."""
+    pools, pt = cache["pools"], cache["pt"]
+    B = x.shape[0]
+    H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    P = next(iter(pools.values())).shape[1]
+    T = pt.shape[1] * P
+    rep = H // KV
+
+    q = _apply_leaf(layer["q_proj"], x, up).reshape(B, 1, H, hd)
+    cos_q = cos_full[positions]                   # [B, hd]
+    sin_q = sin_full[positions]
+    if spec.pos_emb == "rope":
+        q = _rope_one(q[:, 0], cos_q, sin_q)[:, None]
+
+    scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
+    k_pos = jnp.arange(T)
+    allow = k_pos[None, :] <= positions[:, None]  # [B, T] ragged causal
+    if spec.layer_uses_sliding(layer_idx):
+        allow &= k_pos[None, :] > positions[:, None] - spec.sliding_window
+    mask_bt = jnp.where(allow, 0.0, jnp.float32(-1e30))
+
+    if "tk" in pools:  # latent kv
+        tk_new = _latent(layer["k_proj"], x)[:, 0]        # [B, Rk]
+        tv_new = _latent(layer["v_proj"], x)[:, 0]
+        tk_pool = _scatter_token(pools["tk"], pt, positions, tk_new)
+        tv_pool = _scatter_token(pools["tv"], pt, positions, tv_new)
+        new_pools = {"tk": tk_pool, "tv": tv_pool}
+
+        if up and spec.pos_emb == "rope" and layer["k_proj"]["b"] is None:
+            # fused paged flash-decoding: the page table rides as a
+            # scalar-prefetch grid index, streaming only owned pages (the
+            # gather fallback below copies the whole [B, T] view first)
+            from asvd4llm_tpu.ops.pallas_latent_attention import \
+                paged_latent_decode_attention
+            out = paged_latent_decode_attention(
+                q[:, 0], tk_pool, tv_pool, layer["k_proj"]["A"],
+                layer["v_proj"]["A"], cos_full[:T], sin_full[:T], pt,
+                positions, kv_heads=KV, scale=scale,
+                softcap=spec.attn_logit_softcap,
+                sliding=spec.sliding_window
+                if spec.layer_uses_sliding(layer_idx) else 0,
+                v_bias=layer["v_proj"]["b"])
+            out = out.astype(x.dtype)[:, None, :]
+            o_key = "o_proj" if "o_proj" in layer else "out_proj"
+            return _apply_leaf(layer[o_key], out, up), \
+                {"pools": new_pools, "pt": pt}
+
+        tk = _flat_view(tk_pool, pt)                      # [B, T, Rk]
+        tv = _flat_view(tv_pool, pt)
+        k = _up_k(layer["k_proj"], tk, B, T, KV, hd)
+        if spec.pos_emb == "rope":
+            # logical page positions ARE absolute sequence positions
+            k = apply_rope(k, cos_full[:T], sin_full[:T])
+        probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
+                           mask_bt)
+        out = _absorbed_v_out(probs, tv, layer["v_proj"], KV, hd, rep,
+                              x.dtype)
+    elif "tv" in pools:  # dense K + latent V
+        k_new = _apply_leaf(layer["k_proj"], x, up).reshape(B, KV, hd)
+        tv_new = _latent(layer["v_proj"], x)[:, 0]
+        if spec.pos_emb == "rope":
+            k_new = _rope_one(k_new, cos_q, sin_q)
+        k_pool = _scatter_token(pools["k"], pt, positions, k_new)
+        tv_pool = _scatter_token(pools["tv"], pt, positions, tv_new)
+        new_pools = {"k": k_pool, "tv": tv_pool}
+        k = _flat_view(k_pool, pt)
+        tv = _flat_view(tv_pool, pt)
+        probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
+                           mask_bt)
+        out = _absorbed_v_out(probs, tv, layer["v_proj"], KV, hd, rep,
+                              x.dtype)
+    else:  # dense
+        k_new = _apply_leaf(layer["k_proj"], x, up).reshape(B, KV, hd)
+        v_new = _apply_leaf(layer["v_proj"], x, up).reshape(B, KV, hd)
+        if spec.pos_emb == "rope":
+            k_new = _rope_one(k_new, cos_q, sin_q)
+        k_pool = _scatter_token(pools["k"], pt, positions, k_new)
+        v_pool = _scatter_token(pools["v"], pt, positions, v_new)
+        new_pools = {"k": k_pool, "v": v_pool}
+        k = _flat_view(k_pool, pt)
+        v = _flat_view(v_pool, pt)
+        probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
+                           mask_bt)
+        out = jnp.einsum("bgrk,bkgd->bgrd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).reshape(B, 1, H * hd)
+
+    o_key = "o_proj" if "o_proj" in layer else "out_proj"
+    return _apply_leaf(layer[o_key], out, up), {"pools": new_pools, "pt": pt}
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "use_pallas"))
+def paged_decode_step(params, spec, token, pools, page_table, positions,
+                      use_pallas=False):
+    """One ragged decode step over paged caches.
+
+    token [B, 1]; pools: per-layer pool dicts; page_table [B, MP] int32;
+    positions [B] int32 (per-sequence slot for THIS token — ragged).
+    Returns (logits [B, vocab], new pools)."""
+    emb = params["embed_tokens"]
+    x = emb[token]
+    if spec.embed_scale != 1.0:
+        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    if params.get("project_in") is not None:
+        x = _apply_leaf(params["project_in"], x)
+    P = next(iter(pools[0].values())).shape[1]
+    T = page_table.shape[1] * P
+    if spec.pos_emb == "learned":
+        x = x + params["embed_positions"][positions + spec.pos_offset][:, None]
+        cos_full = sin_full = jnp.zeros((T, spec.head_dim))
+    else:
+        cos_full, sin_full = rope_cos_sin(jnp.arange(T), spec.head_dim,
+                                          spec.rope_theta)
+    new_pools = []
+    for i, layer in enumerate(params["layers"]):
+        x, c = _decode_layer(spec, layer, x,
+                             {"pools": pools[i], "pt": page_table},
+                             positions, cos_full, sin_full, i,
+                             up=use_pallas, attend=_paged_attend)
+        new_pools.append(c["pools"])
+    if spec.final_norm and params.get("final_norm") is not None:
+        x = apply_norm(spec, params["final_norm"], x)
+    if params.get("project_out") is not None:
+        x = _apply_leaf(params["project_out"], x)
+    logits = apply_lm_head(params, spec, x)[:, 0]
+    return logits, new_pools
+
+
+def _pool_mode(pools) -> object:
+    if "tk" in pools[0]:
+        return True
+    if "tv" in pools[0]:
+        return "v"
+    return False
+
+
+def prefill_into_pages(params, spec, ids, pools, page_ids):
+    """Prefill ONE sequence (ids [1, S]) and write its cache into the
+    allocated pages. page_ids: int sequence of >= ceil(S/P) pool pages.
+    Returns (last-position logits [1, vocab], new pools)."""
+    S = ids.shape[1]
+    P = next(iter(pools[0].values())).shape[1]
+    n = pages_needed(S, P)
+    assert len(page_ids) >= n, (len(page_ids), n)
+    latent = _pool_mode(pools)
+    dtype = next(iter(pools[0].values())).dtype
+    flat = init_caches(params, spec, 1, n * P, dtype, latent=latent)
+    logits, filled = prefill_host(params, spec, ids, flat, latent=latent)
+    pages = jnp.asarray(list(page_ids[:n]), jnp.int32)
+    out_pools = []
+    for pool, cache in zip(pools, filled):
+        new = {}
+        for key, arr in pool.items():
+            vals = cache[key][0].reshape(n, P, *arr.shape[2:])
+            new[key] = arr.at[pages].set(vals.astype(arr.dtype))
+        out_pools.append(new)
+    return logits, out_pools

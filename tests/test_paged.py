@@ -1,0 +1,191 @@
+"""Paged KV cache + continuous-batching engine tests.
+
+The paged layout (serving/paged.py) must be numerically equivalent to the
+flat caches in eval/generate.py for all three layouts (dense, latent-kv,
+latent-v), including RAGGED batches where each row decodes at a different
+position — the case flat lockstep caches cannot express."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from asvd4llm_tpu.eval.generate import generate  # noqa: E402
+from asvd4llm_tpu.models import params_from_torch_model  # noqa: E402
+from asvd4llm_tpu.models.registry import (  # noqa: E402
+    get_linear, lowrank_leaf, set_linear,
+)
+from asvd4llm_tpu.ops.asvd import factorize_linear  # noqa: E402
+from asvd4llm_tpu.serving import PagedEngine  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    return params, spec
+
+
+def _compress_kv(params, spec, ratio=1.2):
+    out = params
+    for i in range(len(params["layers"])):
+        for key in ("k_proj", "v_proj"):
+            name = f"model.layers.{i}.self_attn.{key}"
+            leaf = get_linear(params, spec, name)
+            f = factorize_linear(leaf["w"], leaf["b"], ratio, backend="exact")
+            out = set_linear(out, spec, name, lowrank_leaf(f.A, f.B, f.bias))
+    return out
+
+
+@pytest.mark.parametrize("latent", [False, True, "v"])
+def test_paged_single_sequence_matches_flat_generate(tiny, latent):
+    params, spec = tiny
+    if latent:
+        params = _compress_kv(params, spec)
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(0, 128, size=(1, 11))
+
+    flat = generate(params, spec, jnp.asarray(prompt), max_new_tokens=9,
+                    latent_kv=latent)
+    eng = PagedEngine(params, spec, max_batch=2, page_size=8, num_pages=32,
+                      max_pages_per_seq=4, latent=latent)
+    rid = eng.add_request(prompt[0], max_new_tokens=9)
+    eng.run()
+    np.testing.assert_array_equal(eng.result(rid),
+                                  np.asarray(flat)[0, prompt.shape[1]:])
+
+
+@pytest.mark.parametrize("latent", [False, True])
+def test_continuous_batching_ragged_matches_lockstep(tiny, latent):
+    """Three prompts of different lengths decode concurrently with ragged
+    positions; each must produce exactly its single-sequence greedy
+    output."""
+    params, spec = tiny
+    if latent:
+        params = _compress_kv(params, spec)
+    rng = np.random.RandomState(1)
+    prompts = [rng.randint(0, 128, size=(n,)) for n in (5, 13, 9)]
+
+    eng = PagedEngine(params, spec, max_batch=3, page_size=8, num_pages=64,
+                      max_pages_per_seq=6, latent=latent)
+    rids = [eng.add_request(p, max_new_tokens=8) for p in prompts]
+    eng.run()
+
+    for p, rid in zip(prompts, rids):
+        solo = generate(params, spec, jnp.asarray(p[None, :]),
+                        max_new_tokens=8, latent_kv=latent)
+        np.testing.assert_array_equal(
+            eng.result(rid), np.asarray(solo)[0, len(p):],
+            err_msg=f"request {rid} diverged from single-sequence decode")
+
+
+def test_page_reuse_after_retirement(tiny):
+    """A finished request's pages return to the pool and are reused by a
+    later request without corrupting its output (the admission is delayed
+    by slot pressure, exercising the waiting queue too)."""
+    params, spec = tiny
+    rng = np.random.RandomState(2)
+    p1 = rng.randint(0, 128, size=(9,))
+    p2 = rng.randint(0, 128, size=(10,))
+
+    eng = PagedEngine(params, spec, max_batch=1, page_size=8,
+                      num_pages=5,  # only 4 usable pages: forces reuse
+                      max_pages_per_seq=4)
+    free0 = len(eng.free_pages)
+    r1 = eng.add_request(p1, max_new_tokens=6)
+    assert len(eng.free_pages) < free0
+    r2 = eng.add_request(p2, max_new_tokens=6)  # waits: no free slot
+    assert eng.slots[0] is not None and len(eng.waiting) == 1
+    eng.run()
+    assert len(eng.free_pages) == free0  # every page returned
+
+    for p, rid in ((p1, r1), (p2, r2)):
+        solo = generate(params, spec, jnp.asarray(p[None, :]),
+                        max_new_tokens=6)
+        np.testing.assert_array_equal(eng.result(rid),
+                                      np.asarray(solo)[0, len(p):])
+
+
+def test_paged_pallas_kernel_matches_flat_kernel():
+    """Interpret-mode paged flash-decoding (page table as scalar-prefetch
+    grid index) vs the flat latent kernel, sequence by sequence: shuffled
+    physical pages + ragged positions must not change the math."""
+    import jax
+
+    from asvd4llm_tpu.ops.pallas_latent_attention import (
+        latent_decode_attention, paged_latent_decode_attention,
+    )
+    from asvd4llm_tpu.models.decoder import rope_cos_sin
+
+    B, KV, rep, hd = 3, 2, 2, 16
+    H = KV * rep
+    P, MP, NP = 16, 4, 16
+    Rk, Rv = 24, 20
+    T = MP * P
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.float32)
+    a_k = jax.random.normal(ks[1], (KV * hd, Rk), jnp.float32) * 0.2
+    a_v = jax.random.normal(ks[2], (KV * hd, Rv), jnp.float32) * 0.2
+    cos, sin = rope_cos_sin(jnp.arange(T), hd, 10000.0)
+    positions = jnp.asarray([P - 2, 2 * P + 3, T - 1], jnp.int32)  # ragged
+
+    # scatter each sequence's latents into a shuffled page pool
+    rng = np.random.RandomState(7)
+    perm = rng.permutation(NP - 1) + 1      # page 0 reserved
+    page_table = np.zeros((B, MP), np.int32)
+    tk_pool = np.zeros((NP, P, Rk), np.float32)
+    tv_pool = np.zeros((NP, P, Rv), np.float32)
+    flat_tk = np.asarray(jax.random.normal(ks[3], (B, T, Rk))) * 0.5
+    flat_tv = np.asarray(jax.random.normal(ks[4], (B, T, Rv))) * 0.5
+    pi = 0
+    for b in range(B):
+        for p in range(MP):
+            page_table[b, p] = perm[pi]
+            tk_pool[perm[pi]] = flat_tk[b, p * P:(p + 1) * P]
+            tv_pool[perm[pi]] = flat_tv[b, p * P:(p + 1) * P]
+            pi += 1
+
+    paged = paged_latent_decode_attention(
+        q, jnp.asarray(tk_pool), jnp.asarray(tv_pool), a_k, a_v, cos, sin,
+        jnp.asarray(page_table), positions, kv_heads=KV, scale=hd ** -0.5,
+        interpret=True)
+
+    for b in range(B):
+        flat = latent_decode_attention(
+            q[b:b + 1], jnp.asarray(flat_tk[b:b + 1]),
+            jnp.asarray(flat_tv[b:b + 1]), a_k, a_v, cos, sin,
+            int(positions[b]), kv_heads=KV, scale=hd ** -0.5, tt=P,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(paged[b]),
+                                   np.asarray(flat[0]), atol=1e-4,
+                                   rtol=1e-4, err_msg=f"sequence {b}")
+
+
+def test_eos_early_retirement(tiny):
+    """EOS mid-stream retires the request (token list ends at EOS) while
+    the other slot keeps decoding."""
+    params, spec = tiny
+    rng = np.random.RandomState(3)
+    p1 = rng.randint(0, 128, size=(7,))
+    # find the first greedy token of p1 and use it as the EOS id, so the
+    # request finishes after exactly one token
+    first = int(np.asarray(generate(params, spec, jnp.asarray(p1[None, :]),
+                                    max_new_tokens=1))[0, -1])
+    p2 = rng.randint(0, 128, size=(6,))
+
+    eng = PagedEngine(params, spec, max_batch=2, page_size=8, num_pages=32,
+                      max_pages_per_seq=4, eos_token_id=first)
+    r1 = eng.add_request(p1, max_new_tokens=10)
+    r2 = eng.add_request(p2, max_new_tokens=5)
+    eng.run()
+    assert eng.result(r1).tolist() == [first]
+    assert len(eng.result(r2)) <= 5 and len(eng.result(r2)) >= 1
