@@ -221,6 +221,154 @@ def _latent_attention_core(q_rot, tk, tv, a_k, cos_full, sin_full, pos, *,
       sin_full)
 
 
+def _paged_dense_kernel(pt_ref, pos_ref, q_ref, k_ref, v_ref, out_ref,
+                        m_ref, l_ref, s_ref,
+                        *, nP, P, KV, rep, hd, scale, softcap, sliding,
+                        v_latent):
+    """Paged flash-decoding over a DENSE K page pool (K stored rotated, no
+    up-projection): grid (B, nP) logical pages resolved through the
+    prefetched page table. V is either dense pages [P, KV, hd] (numerator
+    per head [H, hd]) or V-latent pages [P, Rv] (absorbed numerator
+    [H, Rv], up-projected outside) — the latent-V-only serving mode."""
+    b = pl.program_id(0)
+    pi = pl.program_id(1)
+    pos = pos_ref[b]
+    H = KV * rep
+
+    @pl.when(pi == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    @pl.when(pi * P <= pos)
+    def _():
+        q = q_ref[0].astype(jnp.float32)                 # [H, hd]
+        group_logits = []
+        for g in range(KV):
+            kg = k_ref[0, :, g, :].astype(jnp.float32)   # [P, hd]
+            qg = q[g * rep:(g + 1) * rep, :]
+            group_logits.append(jax.lax.dot_general(
+                qg, kg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))     # [rep, P]
+        logits = jnp.concatenate(group_logits, axis=0) * scale
+        if softcap > 0:
+            logits = softcap * jnp.tanh(logits / softcap)
+        k_pos = pi * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        allow = k_pos <= pos
+        if sliding > 0:
+            allow &= k_pos > pos - sliding
+        logits = jnp.where(allow, logits, -1e30)
+
+        m_prev = m_ref[:, 0]
+        m_new = jnp.maximum(m_prev, logits.max(axis=1))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[:, None])             # [H, P]
+        l_ref[:, 0] = l_ref[:, 0] * corr + p.sum(axis=1)
+        m_ref[:, 0] = m_new
+
+        if v_latent:
+            s_tile = jax.lax.dot_general(                # [H, Rv]
+                p.astype(v_ref.dtype), v_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            tiles = []
+            for g in range(KV):                          # [rep, hd] per g
+                vg = v_ref[0, :, g, :]
+                tiles.append(jax.lax.dot_general(
+                    p[g * rep:(g + 1) * rep].astype(vg.dtype), vg,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            s_tile = jnp.concatenate(tiles, axis=0)      # [H, hd]
+        s_ref[:] = s_ref[:] * corr[:, None] + s_tile
+
+    @pl.when(pi == nP - 1)
+    def _():
+        out_ref[0] = (s_ref[:] / l_ref[:, 0][:, None]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "sliding",
+                                             "kv_heads", "head_dim",
+                                             "interpret"))
+def _paged_dense_core(q_rot, k_pool, v_pool, page_table, positions, *,
+                      scale, softcap, sliding, kv_heads, head_dim,
+                      interpret=False):
+    """Dense-K paged flash-decoding core. k_pool [NP, P, KV, hd] (already
+    rotated at write time); v_pool [NP, P, KV, hd] dense or [NP, P, Rv]
+    V-latents. Returns [B, H, hd] (dense V) or [B, H, Rv] (latent V)."""
+    B, H, hd = q_rot.shape
+    KV = kv_heads
+    rep = H // KV
+    P = k_pool.shape[1]
+    MP = page_table.shape[1]
+    v_latent = v_pool.ndim == 3
+    SV = v_pool.shape[2] if v_latent else hd
+
+    v_spec = pl.BlockSpec((1, P, v_pool.shape[2]),
+                          lambda b, p, pt, pos: (pt[b, p], 0, 0)) \
+        if v_latent else \
+        pl.BlockSpec((1, P, KV, hd), lambda b, p, pt, pos: (pt[b, p], 0, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, MP),
+        scratch_shapes=[
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, 1), jnp.float32),
+            pltpu.VMEM((H, SV), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec((1, H, hd), lambda b, p, pt, pos: (b, 0, 0)),
+            pl.BlockSpec((1, P, KV, hd),
+                         lambda b, p, pt, pos: (pt[b, p], 0, 0, 0)),
+            v_spec,
+        ],
+        out_specs=pl.BlockSpec((1, H, SV), lambda b, p, pt, pos: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_paged_dense_kernel, nP=MP, P=P, KV=KV, rep=rep,
+                          hd=hd, scale=scale, softcap=softcap,
+                          sliding=sliding, v_latent=v_latent),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, SV), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(page_table, positions, q_rot, k_pool, v_pool)
+
+
+def paged_dense_decode_attention(q_rot, k_pool, v_pool, page_table,
+                                 positions, *, kv_heads, scale, softcap=0.0,
+                                 sliding=0, a_v=None, v_bias=None,
+                                 interpret=False):
+    """Paged flash-decoding with dense K pages. With dense V pages returns
+    [B, H*hd] directly; with V-latent pages (a_v given) the absorbed
+    numerator is up-projected per kv group like the full-latent path."""
+    B, H, hd = q_rot.shape
+    KV = kv_heads
+    rep = H // KV
+    out = _paged_dense_core(
+        q_rot, k_pool, v_pool, jnp.asarray(page_table, jnp.int32),
+        jnp.asarray(positions, jnp.int32), scale=scale, softcap=softcap,
+        sliding=sliding, kv_heads=KV, head_dim=hd, interpret=interpret)
+    if v_pool.ndim == 4:                                 # dense V
+        if v_bias is not None:
+            # softmax weights sum to 1, so the V bias adds per kv group
+            vb = v_bias.reshape(KV, hd).astype(jnp.float32)
+            out = (out.reshape(B, KV, rep, hd) + vb[None, :, None, :]
+                   ).reshape(B, H, hd)
+        return out.reshape(B, H * hd)
+    Rv = v_pool.shape[2]
+    a_v3 = a_v.reshape(KV, hd, Rv)
+    sg = out.reshape(B, KV, rep, Rv)
+    y = jnp.einsum("bgrv,gdv->bgrd", sg, a_v3.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    if v_bias is not None:
+        vb = v_bias.reshape(KV, hd).astype(jnp.float32)
+        y = y + vb[None, :, None, :]
+    return y.reshape(B, H * hd)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "sliding",
                                              "kv_heads", "head_dim",
                                              "interpret"))

@@ -142,3 +142,29 @@ def shard_params(params: dict, spec, mesh: Mesh) -> dict:
 def data_sharding(mesh: Mesh, *, batch_axis: str = "dp") -> NamedSharding:
     """[B, S] token batches shard over the data-parallel axis."""
     return NamedSharding(mesh, P(batch_axis, None))
+
+
+def paged_pool_shardings(pools: list, mesh: Mesh) -> list:
+    """Shardings for serving/paged.py page pools: dense K/V pools
+    [NP, page, KV, hd] shard their heads over tp (matching the
+    column-parallel k/v projections that produce them); rank-dim latent
+    pools [NP, page, R] replicate (the latent is the output of the
+    REPLICATED B factor; the tp-sharded A factor up-projects it to sharded
+    heads at attention time). Page axes never shard — any sequence's pages
+    must be reachable from every shard."""
+    tp_size = mesh.shape.get("tp", 1)
+    out = []
+    for pool in pools:
+        d = {}
+        for k, v in pool.items():
+            if v.ndim == 4 and tp_size > 1 and v.shape[2] % tp_size == 0:
+                d[k] = NamedSharding(mesh, P(None, None, "tp", None))
+            else:
+                d[k] = NamedSharding(mesh, P())
+        out.append(d)
+    return out
+
+
+def shard_paged_pools(pools: list, mesh: Mesh) -> list:
+    shardings = paged_pool_shardings(pools, mesh)
+    return jax.tree.map(jax.device_put, pools, shardings)

@@ -22,7 +22,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from asvd4llm_tpu.serving.paged import (
-    init_paged_pools, paged_decode_step, pages_needed, prefill_into_pages,
+    init_paged_pools, paged_decode_scan, paged_decode_step, pages_needed,
+    prefill_into_pages,
 )
 
 log = logging.getLogger(__name__)
@@ -52,10 +53,12 @@ class PagedEngine:
     def __init__(self, params, spec, *, max_batch: int = 4,
                  page_size: int = 64, num_pages: int = 128,
                  max_pages_per_seq: int = 8, latent=False,
-                 eos_token_id=None, dtype=jnp.float32):
+                 eos_token_id=None, dtype=jnp.float32,
+                 use_pallas: bool = False):
         self.params, self.spec = params, spec
         self.page_size = page_size
         self.eos_token_id = eos_token_id
+        self.use_pallas = use_pallas
         self.pools = init_paged_pools(params, spec, num_pages, page_size,
                                       dtype, latent=latent)
         self.page_table = np.zeros((max_batch, max_pages_per_seq), np.int32)
@@ -157,7 +160,7 @@ class PagedEngine:
         logits, self.pools = paged_decode_step(
             self.params, self.spec, jnp.asarray(self.cur_token),
             self.pools, jnp.asarray(self.page_table),
-            jnp.asarray(self.positions))
+            jnp.asarray(self.positions), use_pallas=self.use_pallas)
         next_tokens = np.asarray(logits).argmax(axis=-1)
 
         for req in list(active):
@@ -168,10 +171,54 @@ class PagedEngine:
             if self._finished(req):
                 self._retire(req)
 
-    def run(self, max_steps: int = 10_000):
+    def step_many(self, n_steps: int):
+        """Decode n_steps tokens per active slot in ONE device dispatch
+        (multi-step scheduling): admission and retirement happen every
+        n_steps tokens instead of every token, amortizing the host
+        round-trip. Rows finishing mid-chunk have their surplus tokens
+        discarded — output-identical to step()-by-step."""
+        active = [s for s in self.slots if s is not None]
+        if not active:
+            return
+        for req in active:  # capacity for the whole chunk up front
+            p_end = int(self.positions[req.slot]) + n_steps - 1
+            last_page = p_end // self.page_size
+            if last_page >= self.page_table.shape[1]:
+                raise RuntimeError(
+                    f"request {req.rid} would exceed max_pages_per_seq")
+            for page_idx in range(int(self.positions[req.slot])
+                                  // self.page_size, last_page + 1):
+                if self.page_table[req.slot, page_idx] == 0:
+                    new_page = self._alloc(1)[0]
+                    req.pages.append(new_page)
+                    self.page_table[req.slot, page_idx] = new_page
+
+        toks, self.pools = paged_decode_scan(
+            self.params, self.spec, jnp.asarray(self.cur_token),
+            self.pools, jnp.asarray(self.page_table),
+            jnp.asarray(self.positions), n_steps,
+            use_pallas=self.use_pallas)
+        toks = np.asarray(toks)                       # [B, n_steps]
+
+        for req in list(active):
+            emitted = 0
+            for tok in toks[req.slot]:
+                req.tokens.append(int(tok))
+                emitted += 1
+                if self._finished(req):
+                    break
+            self.positions[req.slot] += emitted
+            self.cur_token[req.slot, 0] = req.tokens[-1]
+            if self._finished(req):
+                self._retire(req)
+
+    def run(self, max_steps: int = 10_000, chunk: int = 1):
         steps = 0
         while not self.all_done():
-            self.step()
+            if chunk > 1:
+                self.step_many(chunk)
+            else:
+                self.step()
             steps += 1
             if steps > max_steps:
                 raise RuntimeError("run() exceeded max_steps")

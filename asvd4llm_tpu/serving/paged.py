@@ -151,6 +151,19 @@ def _paged_attend(spec, layer, x, cache, positions, cos_full, sin_full,
         k_pool = _scatter_token(pools["k"], pt, positions, k_new)
         tv_pool = _scatter_token(pools["tv"], pt, positions, tv_new)
         new_pools = {"k": k_pool, "tv": tv_pool}
+        if up:
+            from asvd4llm_tpu.ops.pallas_latent_attention import \
+                paged_dense_decode_attention
+            out = paged_dense_decode_attention(
+                q[:, 0], k_pool, tv_pool, pt, positions, kv_heads=KV,
+                scale=scale, softcap=spec.attn_logit_softcap,
+                sliding=spec.sliding_window
+                if spec.layer_uses_sliding(layer_idx) else 0,
+                a_v=layer["v_proj"]["A"], v_bias=layer["v_proj"]["b"])
+            out = out.astype(x.dtype)[:, None, :]
+            o_key = "o_proj" if "o_proj" in layer else "out_proj"
+            return _apply_leaf(layer[o_key], out, up), \
+                {"pools": new_pools, "pt": pt}
         k = _flat_view(k_pool, pt)
         tv = _flat_view(tv_pool, pt)
         probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
@@ -165,6 +178,20 @@ def _paged_attend(spec, layer, x, cache, positions, cos_full, sin_full,
         k_pool = _scatter_token(pools["k"], pt, positions, k_new)
         v_pool = _scatter_token(pools["v"], pt, positions, v_new)
         new_pools = {"k": k_pool, "v": v_pool}
+        if up:
+            # fused dense paged flash-decoding: no [B, T] gather copy (at
+            # 7B dims the gather temp alone OOMs a 16G chip)
+            from asvd4llm_tpu.ops.pallas_latent_attention import \
+                paged_dense_decode_attention
+            out = paged_dense_decode_attention(
+                q[:, 0], k_pool, v_pool, pt, positions, kv_heads=KV,
+                scale=scale, softcap=spec.attn_logit_softcap,
+                sliding=spec.sliding_window
+                if spec.layer_uses_sliding(layer_idx) else 0)
+            out = out.astype(x.dtype)[:, None, :]
+            o_key = "o_proj" if "o_proj" in layer else "out_proj"
+            return _apply_leaf(layer[o_key], out, up), \
+                {"pools": new_pools, "pt": pt}
         k = _flat_view(k_pool, pt)
         v = _flat_view(v_pool, pt)
         probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
@@ -212,6 +239,28 @@ def paged_decode_step(params, spec, token, pools, page_table, positions,
         x = _apply_leaf(params["project_out"], x)
     logits = apply_lm_head(params, spec, x)[:, 0]
     return logits, new_pools
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_steps", "use_pallas"))
+def paged_decode_scan(params, spec, token, pools, page_table, positions,
+                      n_steps, use_pallas=False):
+    """n_steps ragged decode steps in ONE dispatch (lax.scan over
+    paged_decode_step). Host round-trips cost ~28 ms each through the TPU
+    tunnel; the engine's multi-step scheduling runs admission/retirement
+    every n_steps tokens instead of every token. Returns (tokens
+    [B, n_steps] greedy, new pools). Rows that hit EOS mid-chunk keep
+    decoding (their surplus tokens are discarded host-side, exactly like
+    the flat on-device while-loop's finished rows)."""
+    def body(carry, _):
+        tok, pools, pos = carry
+        logits, pools = paged_decode_step(params, spec, tok, pools,
+                                          page_table, pos,
+                                          use_pallas=use_pallas)
+        nxt = jnp.argmax(logits, axis=-1)[:, None].astype(tok.dtype)
+        return (nxt, pools, pos + 1), nxt[:, 0]
+    (_, pools, _), toks = jax.lax.scan(
+        body, (token, pools, positions), None, length=n_steps)
+    return toks.T, pools
 
 
 def _pool_mode(pools) -> object:

@@ -1,0 +1,180 @@
+"""Serving throughput: paged continuous batching vs flat lockstep decode.
+
+Workload: MAX_BATCH requests with MIXED prompt lengths decoding
+MAX_NEW tokens each. The flat baseline is what eval/generate.py offers a
+server: one [B, max_len] cache sized for the LONGEST request, all rows
+stepping in lockstep. The paged engine (serving/) gives each sequence only
+the pages it owns, decodes ragged, and runs CHUNK steps per dispatch
+(multi-step scheduling).
+
+Reports decode tokens/sec (prefill excluded for both sides — same math)
+and the cache footprint each side must allocate for the workload.
+
+Geometry: 7B layer dims at reduced depth (see model_decode_bench.py);
+latent mode uses k/v @ kv-ratio 0.4 like the decode bench.
+
+Usage: python benchmarks/serving_bench.py [--json out.json]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from asvd4llm_tpu.eval.generate import init_caches  # noqa: E402
+from asvd4llm_tpu.models.init import init_params  # noqa: E402
+from asvd4llm_tpu.models.spec import llama_spec  # noqa: E402
+from asvd4llm_tpu.serving.engine import PagedEngine  # noqa: E402
+from asvd4llm_tpu.serving.paged import pages_needed  # noqa: E402
+from benchmarks.model_decode_bench import _factor_model, cache_bytes  # noqa: E402
+
+H, I, VOCAB = 4096, 11008, 32000
+LAYERS = 8
+MAX_NEW = 64
+CHUNK = 16
+PAGE = 256
+PROMPTS = [256, 512, 1024, 1536, 2048, 2560, 3072, 4032]  # mixed lengths
+
+
+def _engine_run(params, spec, prompts, *, latent, use_pallas, num_pages,
+                max_pages):
+    """Decode-only engine throughput: requests are admitted PRE-FILLED
+    (pool contents synthetic — decode cost depends on lengths, not
+    values), so the measurement is pure ragged decode + scheduling."""
+    from asvd4llm_tpu.serving.engine import _Request
+
+    eng = PagedEngine(params, spec, max_batch=len(prompts), page_size=PAGE,
+                      num_pages=num_pages, max_pages_per_seq=max_pages,
+                      latent=latent, dtype=jnp.bfloat16,
+                      use_pallas=use_pallas)
+    for slot, S in enumerate(prompts):
+        req = _Request(rid=slot, prompt=np.zeros((S,), np.int32),
+                       max_new_tokens=MAX_NEW)
+        n = pages_needed(S, PAGE)
+        req.pages = eng._alloc(n)
+        req.slot = slot
+        req.tokens.append(1)
+        eng.slots[slot] = req
+        eng.requests[slot] = req
+        eng.page_table[slot, :n] = req.pages
+        eng.positions[slot] = S
+        eng.cur_token[slot, 0] = 1
+    t0 = time.perf_counter()
+    eng.run(chunk=CHUNK)
+    dt = time.perf_counter() - t0
+    n_tokens = sum(len(eng.result(slot)) for slot in range(len(prompts)))
+    pool_pages = sum(pages_needed(S + MAX_NEW, PAGE) for S in prompts) + 1
+    pool_bytes = cache_bytes([{k: v[:pool_pages].reshape(1, -1,
+                                                         *v.shape[2:])
+                               for k, v in p.items()} for p in eng.pools])
+    return n_tokens / dt, pool_bytes
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_steps"))
+def _flat_chunk(params, spec, token, caches, pos0, n_steps):
+    from asvd4llm_tpu.eval.generate import decode_step
+
+    def body(carry, _):
+        tok, caches, p = carry
+        logits, caches = decode_step(params, spec, tok, caches, p)
+        tok = jnp.argmax(logits, -1)[:, None].astype(tok.dtype)
+        return (tok, caches, p + 1), ()
+    (tok, caches, _), _ = jax.lax.scan(
+        body, (token, caches, jnp.int32(pos0)), None, length=n_steps)
+    return tok, caches
+
+
+def _flat_lockstep(params, spec, prompts, *, latent):
+    """Flat baseline: one padded batch, max-length cache, lockstep scan
+    decode (same per-step math as generate(), timed as one dispatch per
+    CHUNK like the engine). Decode-only like the engine measurement: the
+    cache starts synthetic at position max(prompts)."""
+    B = len(prompts)
+    Smax = max(prompts)
+    T = Smax + MAX_NEW
+    caches = init_caches(params, spec, B, T, jnp.bfloat16, latent=latent)
+    token = jnp.ones((B, 1), jnp.int32)
+
+    t0 = time.perf_counter()
+    pos = Smax
+    for _ in range(MAX_NEW // CHUNK):
+        token, caches = _flat_chunk(params, spec, token, caches, pos, CHUNK)
+        pos += CHUNK
+    float(jnp.sum(token))  # axon sync (host fetch)
+    dt = time.perf_counter() - t0
+    return B * MAX_NEW / dt, cache_bytes(caches)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ns = ap.parse_args(argv)
+    import os
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), "cache",
+                              "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    spec = llama_spec(vocab_size=VOCAB, hidden_size=H, intermediate_size=I,
+                      num_layers=LAYERS, num_heads=32, num_kv_heads=32,
+                      head_dim=128,
+                      max_position_embeddings=max(PROMPTS) + MAX_NEW + PAGE)
+    dense = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    latent_m = _factor_model(dense, spec, ("k_proj", "v_proj"), 0.8, 8,
+                             jax.random.PRNGKey(2), jnp.bfloat16)
+    total_pages = sum(pages_needed(S + MAX_NEW + CHUNK, PAGE)
+                      for S in PROMPTS) + 2
+    max_pages = pages_needed(max(PROMPTS) + MAX_NEW + CHUNK, PAGE) + 1
+
+    out = {"geometry": {"hidden": H, "layers": LAYERS, "page": PAGE,
+                        "chunk": CHUNK, "prompts": PROMPTS,
+                        "max_new": MAX_NEW},
+           "backend": jax.default_backend(), "runs": {}}
+    on_tpu = jax.default_backend() == "tpu"
+    for name, params, latent, up in (
+            ("dense_flat", dense, False, False),
+            ("dense_paged", dense, False, on_tpu),
+            ("latent_flat", latent_m, True, False),
+            ("latent_paged_fused", latent_m, True, on_tpu)):
+        # full duplicate warm run (identical shapes -> everything cached),
+        # report the second
+        if name.endswith("_flat"):
+            _flat_lockstep(params, spec, PROMPTS, latent=latent)
+            tps, mem = _flat_lockstep(params, spec, PROMPTS, latent=latent)
+        else:
+            _engine_run(params, spec, PROMPTS, latent=latent,
+                        use_pallas=up, num_pages=total_pages,
+                        max_pages=max_pages)
+            tps, mem = _engine_run(params, spec, PROMPTS, latent=latent,
+                                   use_pallas=up, num_pages=total_pages,
+                                   max_pages=max_pages)
+        out["runs"][name] = {"decode_tokens_per_sec": round(tps, 1),
+                             "cache_mb": round(mem / 2 ** 20, 1)}
+        print(json.dumps({name: out["runs"][name]}), flush=True)
+
+    for pair in (("dense_paged", "dense_flat"),
+                 ("latent_paged_fused", "latent_flat")):
+        a, b = pair
+        out["runs"][f"{a}_vs_{b}"] = round(
+            out["runs"][a]["decode_tokens_per_sec"]
+            / out["runs"][b]["decode_tokens_per_sec"], 3)
+    if ns.json:
+        with open(ns.json, "w") as f:
+            json.dump(out, f, indent=2)
+    print(json.dumps(out["runs"]))
+
+
+if __name__ == "__main__":
+    main()

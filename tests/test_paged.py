@@ -114,6 +114,26 @@ def test_page_reuse_after_retirement(tiny):
                                       np.asarray(solo)[0, len(p):])
 
 
+def test_multi_step_scheduling_matches_stepwise(tiny):
+    """run(chunk=4) (one dispatch per 4 tokens, admission between chunks)
+    must produce exactly the step()-by-step outputs, including a request
+    that hits max_new_tokens mid-chunk."""
+    params, spec = tiny
+    rng = np.random.RandomState(4)
+    prompts = [rng.randint(0, 128, size=(n,)) for n in (6, 11)]
+    budgets = [10, 6]  # 6 is not a multiple of the chunk: mid-chunk finish
+
+    results = []
+    for chunk in (1, 4):
+        eng = PagedEngine(params, spec, max_batch=2, page_size=8,
+                          num_pages=64, max_pages_per_seq=6)
+        rids = [eng.add_request(p, max_new_tokens=b)
+                for p, b in zip(prompts, budgets)]
+        eng.run(chunk=chunk)
+        results.append([eng.result(r).tolist() for r in rids])
+    assert results[0] == results[1]
+
+
 def test_paged_pallas_kernel_matches_flat_kernel():
     """Interpret-mode paged flash-decoding (page table as scalar-prefetch
     grid index) vs the flat latent kernel, sequence by sequence: shuffled
@@ -168,6 +188,110 @@ def test_paged_pallas_kernel_matches_flat_kernel():
         np.testing.assert_allclose(np.asarray(paged[b]),
                                    np.asarray(flat[0]), atol=1e-4,
                                    rtol=1e-4, err_msg=f"sequence {b}")
+
+
+@pytest.mark.parametrize("v_latent", [False, True])
+def test_paged_dense_kernel_matches_xla_paged(tiny, v_latent):
+    """Interpret-mode dense-K paged flash-decoding (dense V and V-latent
+    variants) vs the XLA gather path through a full paged_decode_step."""
+    import jax
+
+    from asvd4llm_tpu.serving.paged import (
+        init_paged_pools, paged_decode_step, pages_needed,
+        prefill_into_pages,
+    )
+    import asvd4llm_tpu.ops.pallas_latent_attention as pla
+
+    params, spec = tiny
+    if v_latent:
+        # factor only v_proj -> latent-V-only pools
+        for i in range(2):
+            name = f"model.layers.{i}.self_attn.v_proj"
+            leaf = get_linear(params, spec, name)
+            f = factorize_linear(leaf["w"], leaf["b"], 1.2, backend="exact")
+            params = set_linear(params, spec, name,
+                                lowrank_leaf(f.A, f.B, f.bias))
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(0, 128, size=(1, 10))
+    P = 8
+    pools = init_paged_pools(params, spec, 16, P, jnp.float32,
+                             latent="v" if v_latent else False)
+    n = pages_needed(prompt.shape[1] + 1, P)
+    pages = list(range(1, n + 1))
+    logits, pools = prefill_into_pages(params, spec, jnp.asarray(prompt),
+                                       pools, pages)
+    pt = np.zeros((1, 4), np.int32)
+    pt[0, :n] = pages
+    tok = jnp.asarray([[int(np.asarray(logits)[0].argmax())]])
+    pos = jnp.asarray([prompt.shape[1]], jnp.int32)
+
+    ref_logits, _ = paged_decode_step(params, spec, tok, pools,
+                                      jnp.asarray(pt), pos)
+
+    # force the fused path through interpret mode
+    orig = pla._paged_dense_core
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+    pla._paged_dense_core = interp
+    try:
+        fused_logits, _ = paged_decode_step(params, spec, tok, pools,
+                                            jnp.asarray(pt), pos,
+                                            use_pallas=True)
+    finally:
+        pla._paged_dense_core = orig
+    np.testing.assert_allclose(np.asarray(fused_logits),
+                               np.asarray(ref_logits), atol=2e-4, rtol=1e-3)
+
+
+def test_paged_decode_on_tp_mesh(tiny):
+    """paged_decode_step under (dp=2, tp=2) NamedShardings (dense K/V pools
+    sharded over kv heads on tp, latents replicated) must reproduce the
+    unsharded logits — multi-chip paged serving via GSPMD."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from asvd4llm_tpu.parallel.mesh import (
+        make_mesh, shard_paged_pools, shard_params,
+    )
+    from asvd4llm_tpu.serving.paged import (
+        init_paged_pools, paged_decode_step, pages_needed,
+        prefill_into_pages,
+    )
+
+    params, spec = tiny
+    params = _compress_kv(params, spec)
+    rng = np.random.RandomState(6)
+    P = 8
+    B, MP = 4, 3
+    pools = init_paged_pools(params, spec, 32, P, jnp.float32, latent=True)
+    pt = np.zeros((B, MP), np.int32)
+    positions = np.zeros((B,), np.int32)
+    toks = np.zeros((B, 1), np.int32)
+    next_page = 1
+    for b, S in enumerate((5, 9, 13, 7)):
+        n = pages_needed(S + 1, P)
+        pages = list(range(next_page, next_page + n))
+        next_page += n
+        prompt = rng.randint(0, 128, size=(1, S))
+        logits, pools = prefill_into_pages(params, spec,
+                                           jnp.asarray(prompt), pools, pages)
+        pt[b, :n] = pages
+        positions[b] = S
+        toks[b, 0] = int(np.asarray(logits)[0].argmax())
+
+    ref, _ = paged_decode_step(params, spec, jnp.asarray(toks), pools,
+                               jnp.asarray(pt), jnp.asarray(positions))
+
+    mesh = make_mesh((2, 2))
+    sharded_params = shard_params(params, spec, mesh)
+    sharded_pools = shard_paged_pools(pools, mesh)
+    got, _ = paged_decode_step(sharded_params, spec, jnp.asarray(toks),
+                               sharded_pools, jnp.asarray(pt),
+                               jnp.asarray(positions))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               rtol=1e-3)
 
 
 def test_eos_early_retirement(tiny):
