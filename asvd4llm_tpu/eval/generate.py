@@ -128,7 +128,8 @@ def _gqa_probs(q0, k, rep, scale, softcap, mask_t):
     KV = k.shape[2]
     qg = q0.reshape(B, KV, rep, hd)
     logits = jnp.einsum("bgrd,bkgd->bgrk", qg, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) * scale
     if softcap > 0:
         logits = softcap * jnp.tanh(logits / softcap)
     mask = mask_t[None, None, None, :] if mask_t.ndim == 1 \
@@ -142,10 +143,12 @@ def _absorbed_v_out(probs, tv, v_leaf, KV, hd, rep, x_dtype):
     independent of context length). probs: [B, KV, rep, T]."""
     B = probs.shape[0]
     s = jnp.einsum("bgrk,bkv->bgrv", probs.astype(tv.dtype), tv,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     a_v = v_leaf["A"].reshape(KV, hd, -1)                # [KV, hd, Rv]
     out = jnp.einsum("bgrv,gdv->bgrd", s.astype(a_v.dtype), a_v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     if v_leaf["b"] is not None:
         # bias contributes sum(probs) * b = 1 * b after softmax
         vb = v_leaf["b"].reshape(KV, hd).astype(jnp.float32)
@@ -242,7 +245,8 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
         probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
                            mask_t)
         out = jnp.einsum("bgrk,bkgd->bgrd", probs.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         out = out.astype(x.dtype).reshape(B, 1, H * hd)
 
     o_key = "o_proj" if "o_proj" in layer else "out_proj"

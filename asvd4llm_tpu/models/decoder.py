@@ -130,6 +130,14 @@ def _softcap(x, cap):
 
 # ------------------------------------------------------------ attention ---
 
+# f32 attention dots run at TRUE f32: jax's default matmul precision
+# executes f32 contractions in reduced (bf16-class) precision on both TPU
+# and the oneDNN CPU backend — measured ~1e-2 logit noise, enough to flip
+# greedy tokens and blur eval parity. bf16 inputs keep the native MXU path
+# (the precision flag only affects f32 operands).
+_ATTN_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _attention(spec, layer, x, layer_idx, cos, sin, mask, *, la, cache=None,
                cache_pos=0):
     """Multi-head attention with GQA, RoPE/none, optional logit softcap,
@@ -161,17 +169,80 @@ def _attention(spec, layer, x, layer_idx, cos, sin, mask, *, la, cache=None,
     rep = H // KV
     scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
     qg = q.reshape(B, S, KV, rep, hd)
-    logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
-                        preferred_element_type=jnp.float32) * scale
-    if spec.attn_logit_softcap > 0:
-        logits = _softcap(logits, spec.attn_logit_softcap)
-    logits = logits + mask[:, :, None]  # mask: [1|B, 1, Sq, Sk], additive
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.reshape(B, S, H * hd)
+    Sk = k.shape[1]
+    if S >= _BLOCK_MIN_SQ and Sk >= 2 * _BLOCK_SIZE:
+        out = _attention_blocked(spec, qg, k, v, mask, scale)
+    else:
+        logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
+                            preferred_element_type=jnp.float32,
+                            precision=_ATTN_PRECISION) * scale
+        if spec.attn_logit_softcap > 0:
+            logits = _softcap(logits, spec.attn_logit_softcap)
+        logits = logits + mask[:, :, None]  # mask: [1|B, 1, Sq, Sk]
+        probs = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1).astype(v.dtype)
+        out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
+                         preferred_element_type=jnp.float32,
+                         precision=_ATTN_PRECISION).astype(x.dtype)
+        out = out.reshape(B, S, H * hd)
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
     return la(layer[o_key], out), new_entry
+
+
+# long-prefill attention blocks over keys once the materialized score
+# tensor would dominate memory: the unblocked [B, H, Sq, Sk] f32 scores of
+# a B=8, S=4096, H=32 prefill are ~17 GB — more than the whole chip
+_BLOCK_MIN_SQ = 2049     # eval's 2048-token windows stay on the fast path
+_BLOCK_SIZE = 512
+
+
+def _attention_blocked(spec, qg, k, v, mask, scale):
+    """Flash-style blocked attention in XLA: lax.scan over key blocks with
+    a running (max, denominator, accumulator) online softmax — peak memory
+    O(Sq * block) scores instead of O(Sq * Sk). Numerically equivalent to
+    the unblocked softmax path (tested)."""
+    B, S, KV, rep, hd = qg.shape
+    Sk = k.shape[1]
+    C = _BLOCK_SIZE
+    nC = -(-Sk // C)
+    pad = nC * C - Sk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                       constant_values=-1e30)
+    mask = jnp.broadcast_to(mask, (mask.shape[0], 1, S, nC * C))
+    # stack key blocks as scan inputs: [nC, B, C, KV, hd] / mask blocks
+    kb = jnp.moveaxis(k.reshape(B, nC, C, KV, hd), 1, 0)
+    vb = jnp.moveaxis(v.reshape(B, nC, C, KV, hd), 1, 0)
+    mb = jnp.moveaxis(mask.reshape(mask.shape[0], 1, S, nC, C), 3, 0)
+
+    m0 = jnp.full((B, KV, rep, S), -1e30, jnp.float32)
+    l0 = jnp.zeros((B, KV, rep, S), jnp.float32)
+    a0 = jnp.zeros((B, KV, rep, S, hd), jnp.float32)
+
+    def body(carry, blk):
+        m, l, acc = carry
+        kb, vb, mb = blk
+        logits = jnp.einsum("bqgrd,bcgd->bgrqc", qg, kb,
+                            preferred_element_type=jnp.float32,
+                            precision=_ATTN_PRECISION) * scale
+        if spec.attn_logit_softcap > 0:
+            logits = _softcap(logits, spec.attn_logit_softcap)
+        logits = logits + mb[:, :, None]          # [B, g, r, S, C]
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l = l * corr + p.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bgrqc,bcgd->bgrqd", p.astype(vb.dtype), vb,
+            preferred_element_type=jnp.float32,
+            precision=_ATTN_PRECISION)
+        return (m_new, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (kb, vb, mb))
+    out = (acc / l[..., None]).astype(qg.dtype)   # [B, g, r, S, hd]
+    return jnp.moveaxis(out, 3, 1).reshape(B, S, KV * rep * hd)
 
 
 def _causal_mask(spec, layer_idx, q_pos, k_pos, pad_mask=None):

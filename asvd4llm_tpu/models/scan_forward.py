@@ -88,14 +88,16 @@ def _attention_scan(spec, layer, x, cos, sin, mask):
     scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
     qg = q.reshape(B, S, KV, rep, hd)
     logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) * scale
     if spec.attn_logit_softcap > 0:
         logits = spec.attn_logit_softcap * jnp.tanh(
             logits / spec.attn_logit_softcap)
     probs = jax.nn.softmax((logits + mask[:, :, None]).astype(jnp.float32),
                            axis=-1).astype(v.dtype)
     out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
     out = out.reshape(B, S, H * hd)
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
     return dense_apply(out, layer[o_key]["w"], layer[o_key]["b"])

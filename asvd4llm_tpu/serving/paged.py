@@ -197,7 +197,8 @@ def _paged_attend(spec, layer, x, cache, positions, cos_full, sin_full,
         probs = _gqa_probs(q[:, 0], k, rep, scale, spec.attn_logit_softcap,
                            mask_bt)
         out = jnp.einsum("bgrk,bkgd->bgrd", probs.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         out = out.astype(x.dtype).reshape(B, 1, H * hd)
 
     o_key = "o_proj" if "o_proj" in layer else "out_proj"

@@ -237,3 +237,56 @@ def test_opt_350m_style_projections_parity():
                               pad_token_id=1).numpy()
     gours = generate(params, spec, prompt, max_new_tokens=4)
     np.testing.assert_array_equal(gours[:, :gref.shape[1]], gref)
+
+
+def test_blocked_attention_matches_unblocked():
+    """The flash-style blocked prefill attention (lax.scan over key blocks
+    with online softmax) must match the one-shot softmax path exactly —
+    forced on by shrinking the block thresholds."""
+    import transformers
+
+    import asvd4llm_tpu.models.decoder as dec
+    from asvd4llm_tpu.models import forward, params_from_torch_model
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(9)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 96, size=(2, 37)))
+
+    import jax
+
+    # pin dense matmuls to true f32 for the comparison: at default matmul
+    # precision this platform's f32 dots run reduced-precision, and their
+    # rounding amplifies the paths' harmless 1e-6 attention reassociation
+    # into sparse 1e-3-level logit flips
+    orig = dec._BLOCK_MIN_SQ, dec._BLOCK_SIZE
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(forward(params, ids, spec))
+        dec._BLOCK_MIN_SQ, dec._BLOCK_SIZE = 1, 16   # 37 keys -> 3 blocks
+        try:
+            got = np.asarray(forward(params, ids, spec))
+        finally:
+            dec._BLOCK_MIN_SQ, dec._BLOCK_SIZE = orig
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+        # and with a padding mask (fully masked prefix rows stay finite)
+        pad_mask = np.ones((2, 37), np.int32)
+        pad_mask[0, :5] = 0
+        ref = np.asarray(forward(params, ids, spec,
+                                 pad_mask=jnp.asarray(pad_mask)))
+        dec._BLOCK_MIN_SQ, dec._BLOCK_SIZE = 1, 16
+        try:
+            got = np.asarray(forward(params, ids, spec,
+                                     pad_mask=jnp.asarray(pad_mask)))
+        finally:
+            dec._BLOCK_MIN_SQ, dec._BLOCK_SIZE = orig
+        # fully-masked pad-prefix positions emit well-defined garbage that
+        # differs between the paths (uniform over Sk vs over the padded
+        # key count) and is never consumed; compare valid positions only
+        np.testing.assert_allclose(got[1], ref[1], atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(got[0, 5:], ref[0, 5:], atol=1e-5,
+                                   rtol=1e-5)
