@@ -450,6 +450,43 @@ def paged_latent_decode_attention(q_rot, tk_pool, tv_pool, a_k, a_v,
     return out.reshape(B, H * hd)
 
 
+def paged_latent_decode_attention_tp(q_rot, tk_pool, tv_pool, a_k, a_v,
+                                     cos_full, sin_full, page_table,
+                                     positions, mesh, *, kv_heads, scale,
+                                     softcap=0.0, sliding=0, v_bias=None,
+                                     interpret=False):
+    """Tensor-parallel paged flash-decoding via shard_map: kv heads shard
+    over the mesh's tp axis (each shard runs the kernel on its KV/tp heads
+    with the REPLICATED latent pools — the latents are head-agnostic rank
+    vectors, so no collective is needed until o_proj's row-parallel psum).
+    q [B, H, hd] must be head-sharded on tp; A_k/A_v row-sharded; output is
+    [B, H*hd] head-sharded on the feature dim. Requires KV % tp == 0."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape["tp"]
+    KV = kv_heads
+    assert KV % tp == 0, (KV, tp)
+
+    def local(q_l, ak_l, av_l, vb_l, tk, tv, pt, pos):
+        vb = None if v_bias is None else vb_l
+        return paged_latent_decode_attention(
+            q_l, tk, tv, ak_l, av_l, cos_full, sin_full, pt, pos,
+            kv_heads=KV // tp, scale=scale, softcap=softcap,
+            sliding=sliding, v_bias=vb, interpret=interpret)
+
+    vb_arg = jnp.zeros((KV * q_rot.shape[2],), jnp.float32) \
+        if v_bias is None else v_bias
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "tp", None), P("tp", None), P("tp", None),
+                  P("tp"), P(), P(), P(), P()),
+        out_specs=P(None, "tp"),
+        check_rep=False,
+    )(q_rot, a_k, a_v, vb_arg, tk_pool, tv_pool,
+      jnp.asarray(page_table, jnp.int32), jnp.asarray(positions, jnp.int32))
+
+
 def latent_decode_attention(q_rot, tk, tv, a_k, a_v, cos_full, sin_full,
                             pos, *, kv_heads, scale, softcap=0.0, sliding=0,
                             v_bias=None, tt=1024, interpret=False):

@@ -54,11 +54,15 @@ class PagedEngine:
                  page_size: int = 64, num_pages: int = 128,
                  max_pages_per_seq: int = 8, latent=False,
                  eos_token_id=None, dtype=jnp.float32,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, temperature: float = 0.0,
+                 top_p: float = 1.0, seed: int = 0):
         self.params, self.spec = params, spec
         self.page_size = page_size
         self.eos_token_id = eos_token_id
         self.use_pallas = use_pallas
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self._rng = np.random.default_rng(seed)
         self.pools = init_paged_pools(params, spec, num_pages, page_size,
                                       dtype, latent=latent)
         self.page_table = np.zeros((max_batch, max_pages_per_seq), np.int32)
@@ -86,6 +90,23 @@ class PagedEngine:
     def result(self, rid: int) -> np.ndarray:
         return np.asarray(self.requests[rid].tokens, np.int32)
 
+    def _pick(self, logits_row: np.ndarray) -> int:
+        """Greedy (temperature 0) or temperature/top-p sampling."""
+        if self.temperature <= 0:
+            return int(logits_row.argmax())
+        z = logits_row.astype(np.float64) / self.temperature
+        z -= z.max()
+        p = np.exp(z)
+        p /= p.sum()
+        if self.top_p < 1.0:
+            order = np.argsort(p)[::-1]
+            cut = int(np.searchsorted(np.cumsum(p[order]), self.top_p)) + 1
+            keep = order[:cut]
+            masked = np.zeros_like(p)
+            masked[keep] = p[keep]
+            p = masked / masked.sum()
+        return int(self._rng.choice(len(p), p=p))
+
     def all_done(self) -> bool:
         return not self.waiting and all(s is None for s in self.slots)
 
@@ -111,7 +132,7 @@ class PagedEngine:
             logits, self.pools = prefill_into_pages(
                 self.params, self.spec, jnp.asarray(req.prompt[None, :]),
                 self.pools, req.pages)
-            first = int(np.asarray(logits)[0].argmax())
+            first = self._pick(np.asarray(logits)[0])
             req.tokens.append(first)
             self.slots[slot] = req
             self.page_table[slot, :] = 0
@@ -161,10 +182,10 @@ class PagedEngine:
             self.params, self.spec, jnp.asarray(self.cur_token),
             self.pools, jnp.asarray(self.page_table),
             jnp.asarray(self.positions), use_pallas=self.use_pallas)
-        next_tokens = np.asarray(logits).argmax(axis=-1)
+        logits_np = np.asarray(logits)
 
         for req in list(active):
-            tok = int(next_tokens[req.slot])
+            tok = self._pick(logits_np[req.slot])
             req.tokens.append(tok)
             self.positions[req.slot] += 1
             self.cur_token[req.slot, 0] = tok
@@ -213,6 +234,10 @@ class PagedEngine:
                 self._retire(req)
 
     def run(self, max_steps: int = 10_000, chunk: int = 1):
+        if chunk > 1 and self.temperature > 0:
+            log.info("sampling decodes stepwise (multi-step scheduling is "
+                     "greedy-only); chunk=%d ignored", chunk)
+            chunk = 1
         steps = 0
         while not self.all_done():
             if chunk > 1:

@@ -244,6 +244,47 @@ def test_paged_dense_kernel_matches_xla_paged(tiny, v_latent):
                                np.asarray(ref_logits), atol=2e-4, rtol=1e-3)
 
 
+def test_paged_kernel_tp_shard_map():
+    """Tensor-parallel paged flash-decoding (shard_map over kv heads, one
+    kernel instance per tp shard, latent pools replicated) matches the
+    single-device kernel."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from asvd4llm_tpu.models.decoder import rope_cos_sin
+    from asvd4llm_tpu.ops.pallas_latent_attention import (
+        paged_latent_decode_attention, paged_latent_decode_attention_tp,
+    )
+    from asvd4llm_tpu.parallel.mesh import make_mesh
+
+    B, KV, rep, hd = 2, 4, 2, 16
+    H = KV * rep
+    P, MP, NP = 16, 3, 12
+    Rk, Rv = 24, 20
+    T = MP * P
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    q = jax.random.normal(ks[0], (B, H, hd), jnp.float32)
+    a_k = jax.random.normal(ks[1], (KV * hd, Rk), jnp.float32) * 0.2
+    a_v = jax.random.normal(ks[2], (KV * hd, Rv), jnp.float32) * 0.2
+    vb = jax.random.normal(ks[5], (KV * hd,), jnp.float32) * 0.1
+    cos, sin = rope_cos_sin(jnp.arange(T), hd, 10000.0)
+    positions = jnp.asarray([P + 2, T - 1], jnp.int32)
+    pt = jnp.asarray(np.arange(1, 1 + B * MP).reshape(B, MP), jnp.int32)
+    tk_pool = jax.random.normal(ks[3], (NP, P, Rk), jnp.float32) * 0.5
+    tv_pool = jax.random.normal(ks[4], (NP, P, Rv), jnp.float32) * 0.5
+
+    ref = paged_latent_decode_attention(
+        q, tk_pool, tv_pool, a_k, a_v, cos, sin, pt, positions,
+        kv_heads=KV, scale=hd ** -0.5, v_bias=vb, interpret=True)
+    got = paged_latent_decode_attention_tp(
+        q, tk_pool, tv_pool, a_k, a_v, cos, sin, pt, positions,
+        make_mesh((2, 4)), kv_heads=KV, scale=hd ** -0.5, v_bias=vb,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
 def test_paged_decode_on_tp_mesh(tiny):
     """paged_decode_step under (dp=2, tp=2) NamedShardings (dense K/V pools
     sharded over kv heads on tp, latents replicated) must reproduce the
@@ -292,6 +333,29 @@ def test_paged_decode_on_tp_mesh(tiny):
                                jnp.asarray(positions))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
                                rtol=1e-3)
+
+
+def test_sampling_engine(tiny):
+    """temperature/top-p sampling: deterministic under a fixed seed,
+    varies across seeds, and temperature->0 equals greedy."""
+    params, spec = tiny
+    rng = np.random.RandomState(8)
+    prompt = rng.randint(0, 128, size=(9,))
+
+    def run(temperature, seed):
+        eng = PagedEngine(params, spec, max_batch=1, page_size=8,
+                          num_pages=32, max_pages_per_seq=4,
+                          temperature=temperature, top_p=0.9, seed=seed)
+        rid = eng.add_request(prompt, max_new_tokens=12)
+        eng.run(chunk=4)  # sampling falls back to stepwise internally
+        return eng.result(rid).tolist()
+
+    assert run(1.5, 0) == run(1.5, 0)          # seeded determinism
+    outs = {tuple(run(1.5, s)) for s in range(4)}
+    assert len(outs) > 1                        # actually stochastic
+    greedy = generate(params, spec, jnp.asarray(prompt[None, :]),
+                      max_new_tokens=12)
+    assert run(0.0, 0) == np.asarray(greedy)[0, 9:].tolist()
 
 
 def test_eos_early_retirement(tiny):
