@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--model", required=True,
                    help="checkpoint dir (HF format, or native with --native)")
     p.add_argument("--prompt", default="The")
+    p.add_argument("--batch", default=None,
+                   help="file with one prompt per line -> continuous-"
+                        "batching paged engine (serving/engine.py)")
+    p.add_argument("--page_size", type=int, default=128)
+    p.add_argument("--num_pages", type=int, default=512)
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--native", action="store_true",
                    help="load an Orbax+manifest checkpoint")
@@ -55,6 +60,35 @@ def main(argv=None):
     else:
         from asvd4llm_tpu.models.loader import load_model_native
         params, spec = load_model_native(args.model, dtype=dtype)
+
+    if args.batch:
+        from asvd4llm_tpu.serving.engine import PagedEngine
+        from asvd4llm_tpu.serving.paged import pages_needed
+
+        with open(args.batch) as f:
+            prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+        enc = [np.asarray(tokenizer.encode(p), np.int32) for p in prompts]
+        longest = max(len(e) for e in enc) + args.max_new_tokens
+        eng = PagedEngine(
+            params, spec, max_batch=min(8, len(enc)),
+            page_size=args.page_size, num_pages=args.num_pages,
+            max_pages_per_seq=pages_needed(longest, args.page_size) + 1,
+            latent="kv" if args.latent_kv == "kv" else args.latent_kv,
+            eos_token_id=tokenizer.eos_token_id, dtype=dtype,
+            use_pallas=args.use_pallas, temperature=args.temperature)
+        t0 = time.time()
+        rids = [eng.add_request(e, max_new_tokens=args.max_new_tokens)
+                for e in enc]
+        eng.run(chunk=8)
+        dt = time.time() - t0
+        n = 0
+        for prompt, rid in zip(prompts, rids):
+            toks = eng.result(rid)
+            n += len(toks)
+            print(f"--- {prompt!r}\n{tokenizer.decode(toks.tolist())}")
+        print(f"[{len(prompts)} requests, {n} tokens in {dt:.1f}s = "
+              f"{n / dt:.1f} tok/s (incl. compile)]", file=sys.stderr)
+        return 0
 
     ids = np.asarray(tokenizer.encode(args.prompt), np.int32)[None, :]
     t0 = time.time()
