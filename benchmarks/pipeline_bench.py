@@ -1,0 +1,122 @@
+"""End-to-end compression-pipeline wall clock at 7B dimensions on chip.
+
+The reference quotes "several hours" for the sensitivity scan of a 7B model
+on one CUDA GPU (ref README.md:59-60). This measures OUR phases for real —
+random weights at Llama-2-7B layer dimensions (compression cost depends on
+shapes, not values): activation-stats calibration, the full
+sensitivity scan (SVD factorization + candidate-batched PPL evals over the
+6-ratio grid for every linear incl. lm_head), and the binary-search rank
+allocation. Depth is reduced (LAYERS of 32) to fit alongside activations;
+phase cost is linear in depth, and the JSON reports both measured and
+x(32/LAYERS) projected times.
+
+Scan cost also scales with n_calib x seqlen (the PPL-eval budget); the
+reference's canonical calib setting is 32 samples of 2048 tokens — the
+JSON notes the scale factor to that setting.
+
+Usage: python benchmarks/pipeline_bench.py [--json out.json]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from asvd4llm_tpu.calib.search import binary_search_truncation_rank  # noqa: E402
+from asvd4llm_tpu.calib.sensitivity import calib_sensitivity_ppl  # noqa: E402
+from asvd4llm_tpu.calib.stats import calib_input_distribution  # noqa: E402
+from asvd4llm_tpu.config import ASVDConfig  # noqa: E402
+from asvd4llm_tpu.models.init import init_params  # noqa: E402
+from asvd4llm_tpu.models.spec import llama_spec  # noqa: E402
+
+H, I, VOCAB = 4096, 11008, 32000
+LAYERS = 16
+FULL = 32
+N_CALIB = 4
+SEQLEN = 512
+REF_CALIB, REF_SEQLEN = 32, 2048
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--layers", type=int, default=LAYERS)
+    ns = ap.parse_args(argv)
+    import os
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), "cache",
+                              "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    layers = ns.layers
+    spec = llama_spec(vocab_size=VOCAB, hidden_size=H, intermediate_size=I,
+                      num_layers=layers, num_heads=32, num_kv_heads=32,
+                      head_dim=128, max_position_embeddings=SEQLEN + 64)
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    loader = [{"input_ids": rng.randint(0, VOCAB, size=(1, SEQLEN))}
+              for _ in range(N_CALIB)]
+    cfg = ASVDConfig(model_id="pipeline-bench", calib_dataset="synthetic",
+                     param_ratio_target=0.85, act_aware=True, alpha=0.5,
+                     scaling_method="abs_mean", n_calib_samples=N_CALIB,
+                     seqlen=SEQLEN, svd_backend="auto",
+                     eval_dtype="bfloat16", use_cache=False)
+
+    t0 = time.time()
+    stats = calib_input_distribution(params, spec, loader,
+                                     cfg.scaling_method)
+    jax.block_until_ready(list(stats.values()))
+    t_stats = time.time() - t0
+
+    t0 = time.time()
+    sens = calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats)
+    t_scan = time.time() - t0
+    n_points = sum(len(v) for v in sens.values())
+
+    t0 = time.time()
+    compressed, manifest = binary_search_truncation_rank(
+        params, spec, sens, loader, cfg, stats=stats)
+    t_search = time.time() - t0
+
+    scale_depth = FULL / layers
+    out = {
+        "geometry": {"hidden": H, "inter": I, "vocab": VOCAB,
+                     "layers": layers, "n_calib": N_CALIB,
+                     "seqlen": SEQLEN},
+        "backend": jax.default_backend(),
+        "measured_s": {"calib_stats": round(t_stats, 1),
+                       "sensitivity_scan": round(t_scan, 1),
+                       "binary_search": round(t_search, 1),
+                       "total": round(t_stats + t_scan + t_search, 1)},
+        "scan_points": n_points,
+        "manifest_layers": len(manifest),
+        "projected_full_7b_s": {
+            "calib_stats": round(t_stats * scale_depth, 1),
+            "sensitivity_scan": round(t_scan * scale_depth, 1),
+            "binary_search": round(t_search * scale_depth, 1),
+            "total": round((t_stats + t_scan + t_search) * scale_depth, 1),
+        },
+        "note": (f"PPL-eval budget scales with n_calib*seqlen; the "
+                 f"reference's canonical setting ({REF_CALIB}x{REF_SEQLEN}) "
+                 f"is {REF_CALIB * REF_SEQLEN / (N_CALIB * SEQLEN):.0f}x "
+                 f"this run's eval tokens. Reference wall time for the "
+                 f"scan: 'several hours' on one CUDA GPU "
+                 f"(ref README.md:59-60)."),
+    }
+    print(json.dumps(out, indent=1))
+    if ns.json:
+        with open(ns.json, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
