@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from asvd4llm_tpu.serving.paged import (
     init_paged_pools, paged_decode_scan, paged_decode_step, pages_needed,
-    prefill_into_pages,
+    prefill_chunked_into_pages, prefill_into_pages,
 )
 
 log = logging.getLogger(__name__)
@@ -55,11 +55,16 @@ class PagedEngine:
                  max_pages_per_seq: int = 8, latent=False,
                  eos_token_id=None, dtype=jnp.float32,
                  use_pallas: bool = False, temperature: float = 0.0,
-                 top_p: float = 1.0, seed: int = 0):
+                 top_p: float = 1.0, seed: int = 0,
+                 prefill_chunk: int = 0):
         self.params, self.spec = params, spec
         self.page_size = page_size
         self.eos_token_id = eos_token_id
         self.use_pallas = use_pallas
+        # prefill_chunk > 0: admission runs chunked paged appends — one
+        # compiled program for ALL prompt lengths (a fresh prefill shape
+        # costs a multi-minute compile through the TPU tunnel)
+        self.prefill_chunk = int(prefill_chunk)
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self._rng = np.random.default_rng(seed)
@@ -129,9 +134,17 @@ class PagedEngine:
                 raise ValueError(f"prompt needs {n} pages > max_pages_per_seq")
             req.pages = self._alloc(n)
             req.slot = slot
-            logits, self.pools = prefill_into_pages(
-                self.params, self.spec, jnp.asarray(req.prompt[None, :]),
-                self.pools, req.pages)
+            if self.prefill_chunk:
+                row = np.zeros((self.page_table.shape[1],), np.int32)
+                row[:n] = req.pages
+                logits, self.pools = prefill_chunked_into_pages(
+                    self.params, self.spec,
+                    jnp.asarray(req.prompt[None, :]), self.pools, row,
+                    self.prefill_chunk)
+            else:
+                logits, self.pools = prefill_into_pages(
+                    self.params, self.spec,
+                    jnp.asarray(req.prompt[None, :]), self.pools, req.pages)
             first = self._pick(np.asarray(logits)[0])
             req.tokens.append(first)
             self.slots[slot] = req

@@ -264,6 +264,184 @@ def paged_decode_scan(params, spec, token, pools, page_table, positions,
     return toks.T, pools
 
 
+def _scatter_segment(pool_arr, page_table_row, positions, vals):
+    """Write a C-token segment of ONE sequence: vals [C, ...] land at
+    (page_table_row[pos_c // P], pos_c % P). Positions past the allocated
+    pages resolve to the reserved scratch page 0 (padded tail of the last
+    chunk) and are never read back."""
+    P = pool_arr.shape[1]
+    pages = page_table_row[positions // P]        # [C]
+    slots = positions % P
+    return pool_arr.at[pages, slots].set(vals.astype(pool_arr.dtype))
+
+
+def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
+                   layer_idx, up=False):
+    """Multi-token paged append-attention for ONE sequence (chunked
+    prefill): x [1, C, hidden] at absolute positions pos0..pos0+C-1;
+    writes the segment's cache entries into the pages, then attends each
+    query causally over everything written so far. `up` is accepted for
+    _decode_layer compatibility (fused kernels are decode-only)."""
+    pools, pt = cache["pools"], cache["pt"]       # pt: [1, MP]
+    C = x.shape[1]
+    H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    P = next(iter(pools.values())).shape[1]
+    T = pt.shape[1] * P
+    rep = H // KV
+    positions = pos0 + jnp.arange(C)
+    pt_row = pt[0]
+
+    q = _apply_leaf(layer["q_proj"], x, False).reshape(1, C, H, hd)
+    cos_c = jax.lax.dynamic_slice_in_dim(cos_full, pos0, C)
+    sin_c = jax.lax.dynamic_slice_in_dim(sin_full, pos0, C)
+    if spec.pos_emb == "rope":
+        q = apply_rope(q, cos_c, sin_c)
+
+    scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
+    k_pos = jnp.arange(T)
+    allow = k_pos[None, :] <= positions[:, None]  # [C, T]
+    if spec.layer_uses_sliding(layer_idx):
+        allow &= k_pos[None, :] > positions[:, None] - spec.sliding_window
+    mask = jnp.where(allow, 0.0, jnp.float32(-1e30))[None, None, None]
+
+    def probs_of(k):
+        qg = q.reshape(1, C, KV, rep, hd)
+        logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST) * scale
+        if spec.attn_logit_softcap > 0:
+            logits = spec.attn_logit_softcap * jnp.tanh(
+                logits / spec.attn_logit_softcap)
+        return jax.nn.softmax(logits + mask, axis=-1)  # [1,g,r,C,T]
+
+    if "tk" in pools:  # latent kv
+        tk_new = _latent(layer["k_proj"], x)[0]       # [C, Rk]
+        tv_new = _latent(layer["v_proj"], x)[0]
+        tk_pool = _scatter_segment(pools["tk"], pt_row, positions, tk_new)
+        tv_pool = _scatter_segment(pools["tv"], pt_row, positions, tv_new)
+        new_pools = {"tk": tk_pool, "tv": tv_pool}
+        tk = _flat_view(tk_pool, pt)
+        tv = _flat_view(tv_pool, pt)
+        k = _up_k(layer["k_proj"], tk, 1, T, KV, hd)
+        if spec.pos_emb == "rope":
+            k = apply_rope(k, cos_full[:T], sin_full[:T])
+        probs = probs_of(k)
+        s = jnp.einsum("bgrqk,bkv->bgrqv", probs.astype(tv.dtype), tv,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        a_v = layer["v_proj"]["A"].reshape(KV, hd, -1)
+        out = jnp.einsum("bgrqv,gdv->bqgrd", s.astype(a_v.dtype), a_v,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        if layer["v_proj"]["b"] is not None:
+            vb = layer["v_proj"]["b"].reshape(KV, hd).astype(jnp.float32)
+            out = out + vb[None, None, :, None, :]
+        out = out.astype(x.dtype).reshape(1, C, H * hd)
+    else:
+        k_new = _apply_leaf(layer["k_proj"], x, False).reshape(1, C, KV, hd)
+        if spec.pos_emb == "rope":
+            k_new = apply_rope(k_new, cos_c, sin_c)
+        k_pool = _scatter_segment(pools["k"], pt_row, positions, k_new[0])
+        if "tv" in pools:  # dense K + latent V
+            tv_new = _latent(layer["v_proj"], x)[0]
+            tv_pool = _scatter_segment(pools["tv"], pt_row, positions,
+                                       tv_new)
+            new_pools = {"k": k_pool, "tv": tv_pool}
+            tv = _flat_view(tv_pool, pt)
+            probs = probs_of(_flat_view(k_pool, pt))
+            s = jnp.einsum("bgrqk,bkv->bgrqv", probs.astype(tv.dtype), tv,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            a_v = layer["v_proj"]["A"].reshape(KV, hd, -1)
+            out = jnp.einsum("bgrqv,gdv->bqgrd", s.astype(a_v.dtype), a_v,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            if layer["v_proj"]["b"] is not None:
+                vb = layer["v_proj"]["b"].reshape(KV, hd
+                                                  ).astype(jnp.float32)
+                out = out + vb[None, None, :, None, :]
+            out = out.astype(x.dtype).reshape(1, C, H * hd)
+        else:  # dense
+            v_new = _apply_leaf(layer["v_proj"], x, False
+                                ).reshape(1, C, KV, hd)
+            v_pool = _scatter_segment(pools["v"], pt_row, positions,
+                                      v_new[0])
+            new_pools = {"k": k_pool, "v": v_pool}
+            v = _flat_view(v_pool, pt)
+            probs = probs_of(_flat_view(k_pool, pt))
+            out = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            out = out.astype(x.dtype).reshape(1, C, H * hd)
+
+    o_key = "o_proj" if "o_proj" in layer else "out_proj"
+    return _apply_leaf(layer[o_key], out, False), \
+        {"pools": new_pools, "pt": pt}
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def paged_append(params, spec, ids, pools, page_table_row, pos0):
+    """Append a C-token segment of ONE sequence to its paged caches and
+    return (logits [C, vocab] for every segment position, new pools).
+
+    The chunked-prefill building block: admission processes a prompt in
+    fixed-size segments, so serving compiles ONE append program instead of
+    one prefill per novel prompt length (each new shape costs a fresh
+    multi-minute XLA compile through the TPU tunnel)."""
+    C = ids.shape[1]
+    x = params["embed_tokens"][ids]
+    if spec.embed_scale != 1.0:
+        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    if params.get("project_in") is not None:
+        x = _apply_leaf(params["project_in"], x)
+    P = next(iter(pools[0].values())).shape[1]
+    T = page_table_row.shape[0] * P
+    if spec.pos_emb == "learned":
+        x = x + params["embed_positions"][pos0 + jnp.arange(C)
+                                          + spec.pos_offset][None]
+        cos_full = sin_full = jnp.zeros((T, spec.head_dim))
+    else:
+        cos_full, sin_full = rope_cos_sin(jnp.arange(T), spec.head_dim,
+                                          spec.rope_theta)
+    pt = page_table_row[None, :]
+    new_pools = []
+    for i, layer in enumerate(params["layers"]):
+        x, c = _decode_layer(spec, layer, x,
+                             {"pools": pools[i], "pt": pt},
+                             pos0, cos_full, sin_full, i,
+                             up=False, attend=_append_attend)
+        new_pools.append(c["pools"])
+    if spec.final_norm and params.get("final_norm") is not None:
+        x = apply_norm(spec, params["final_norm"], x)
+    if params.get("project_out") is not None:
+        x = _apply_leaf(params["project_out"], x)
+    return apply_lm_head(params, spec, x)[0], new_pools
+
+
+def prefill_chunked_into_pages(params, spec, ids, pools, page_table_row,
+                               chunk: int):
+    """Chunked-prefill admission: process ids [1, S] in `chunk`-token
+    segments via paged_append — ONE compiled program (shapes fixed by
+    (chunk, row width)) reused across segments AND requests, instead of a
+    fresh prefill compile per novel prompt length. The last segment is
+    padded; padded positions scatter to the reserved scratch page or to
+    slots that decode overwrites before reading. page_table_row: int32
+    [max_pages] with this sequence's pages set (0 elsewhere). Returns
+    (last-real-position logits [1, vocab], new pools)."""
+    S = ids.shape[1]
+    row = jnp.asarray(page_table_row, jnp.int32)
+    arr = jnp.asarray(ids)
+    logits = None
+    last_in_segment = (S - 1) % chunk
+    for c0 in range(0, S, chunk):
+        seg = arr[:, c0:c0 + chunk]
+        if seg.shape[1] < chunk:
+            seg = jnp.pad(seg, ((0, 0), (0, chunk - seg.shape[1])))
+        logits_seg, pools = paged_append(params, spec, seg, pools, row, c0)
+        logits = logits_seg
+    return logits[last_in_segment][None], pools
+
+
 def _pool_mode(pools) -> object:
     if "tk" in pools[0]:
         return True

@@ -335,6 +335,29 @@ def test_paged_decode_on_tp_mesh(tiny):
                                rtol=1e-3)
 
 
+@pytest.mark.parametrize("latent", [False, True, "v"])
+def test_chunked_prefill_matches_whole_prefill(tiny, latent):
+    """Chunked admission (fixed-size paged appends, one compiled program
+    for every prompt length) must reproduce whole-prompt prefill exactly:
+    same generated tokens for prompts whose lengths are and are not chunk
+    multiples."""
+    params, spec = tiny
+    if latent:
+        params = _compress_kv(params, spec)
+    rng = np.random.RandomState(9)
+    prompts = [rng.randint(0, 128, size=(n,)) for n in (8, 11, 5)]
+
+    results = []
+    for chunk in (0, 4):
+        eng = PagedEngine(params, spec, max_batch=3, page_size=8,
+                          num_pages=64, max_pages_per_seq=6, latent=latent,
+                          prefill_chunk=chunk)
+        rids = [eng.add_request(p, max_new_tokens=7) for p in prompts]
+        eng.run()
+        results.append([eng.result(r).tolist() for r in rids])
+    assert results[0] == results[1]
+
+
 def test_sampling_engine(tiny):
     """temperature/top-p sampling: deterministic under a fixed seed,
     varies across seeds, and temperature->0 equals greedy."""
