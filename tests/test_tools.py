@@ -128,3 +128,57 @@ def test_kv_longbench_preset():
     cfgs = PRESETS["kv_cache_longbench"]("m")
     assert all(c.eval_tasks == "small_longbench" and c.compress_kv_cache
                for c in cfgs)
+
+
+def test_serve_cli_batch_mode(tmp_path, capsys):
+    """serve --batch drives the continuous-batching engine end to end from
+    the CLI over an exported KV-compressed repo."""
+    import transformers
+
+    from asvd4llm_tpu.export.hf_repo import export_hf_repo
+    from asvd4llm_tpu.models import params_from_torch_model
+    from asvd4llm_tpu.models.registry import (
+        get_linear, lowrank_leaf, set_linear,
+    )
+    from asvd4llm_tpu.ops.asvd import factorize_linear
+    from asvd4llm_tpu.tools.serve import main
+    from asvd4llm_tpu.utils.testing import build_tiny_checkpoint
+
+    import jax.numpy as jnp
+    import numpy as np
+    import shutil
+    import os
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    manifest = {}
+    for i in range(2):
+        for k in ("k_proj", "v_proj"):
+            name = f"model.layers.{i}.self_attn.{k}"
+            leaf = get_linear(params, spec, name)
+            f = factorize_linear(leaf["w"], leaf["b"], 1.2, backend="exact")
+            params = set_linear(params, spec, name,
+                                lowrank_leaf(f.A, f.B, f.bias))
+            manifest[name] = f.rank
+    repo = str(tmp_path / "serve_repo")
+    export_hf_repo(repo, params, spec, manifest, hf_config=cfg)
+    tok_src = str(tmp_path / "tok")
+    build_tiny_checkpoint(tok_src, "llama")
+    for fname in os.listdir(tok_src):
+        if "token" in fname or fname == "special_tokens_map.json":
+            shutil.copy(os.path.join(tok_src, fname),
+                        os.path.join(repo, fname))
+    batch = tmp_path / "prompts.txt"
+    batch.write_text("hello there\nthe quick brown\n")
+
+    rc = main(["--model", repo, "--batch", str(batch),
+               "--max_new_tokens", "5", "--latent_kv", "kv",
+               "--dtype", "float32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("---") == 2  # one block per request
