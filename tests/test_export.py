@@ -101,6 +101,27 @@ def test_load_factored_hf_repo_back_into_pytree(compressed, tmp_path):
                                atol=1e-5)
 
 
+def test_orbax_roundtrip_quantized_leaves(compressed, tmp_path):
+    """A q4-deployed model round-trips through the NATIVE Orbax+manifest
+    checkpoint (v2 manifest records per-leaf encodings, not just ranks)."""
+    from asvd4llm_tpu.models.registry import is_q4_lowrank
+    from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int4
+
+    _, params, spec, manifest = compressed
+    q4 = quantize_lowrank_factors_int4(params, spec)
+    path = str(tmp_path / "q4ckpt")
+    save_compressed(path, q4, spec, manifest)
+    p2, spec2, ranks2 = load_compressed(path, dtype=jnp.float32)
+    assert ranks2 == manifest
+    for name in manifest:
+        assert is_q4_lowrank(get_linear(p2, spec2, name)), name
+
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, 128, size=(2, 9)))
+    np.testing.assert_allclose(np.asarray(forward(p2, ids, spec2)),
+                               np.asarray(forward(q4, ids, spec)),
+                               atol=1e-5)
+
+
 def test_int4_export_roundtrip(compressed, tmp_path):
     """Packed-int4 HF export (the reference ships AWQ w4 via external CUDA
     kernels, ref quantization.py:269; here the repo itself stores 4-bit
