@@ -157,6 +157,45 @@ def _ppl_multi_ratio_bucketed(params, spec, ids, key, target, w_hats, limit):
     return jax.vmap(eval_one)(w_hats)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "key", "limit"))
+def _ppl_multi_ratio_scan(params, stacked, spec, ids, key, target, w_hats,
+                          limit):
+    """Scan-stacked variant of _ppl_multi_ratio_bucketed: the substitution
+    rides INSIDE the lax.scan body (models/scan_forward.py), so the
+    compiled program is O(1) in model depth — at 7B-class depth the
+    unrolled evaluator's per-bucket compile costs minutes through the TPU
+    tunnel and scales with layer count. Requires a uniform all-dense model
+    (can_scan); numerically identical to the unrolled evaluator."""
+    from asvd4llm_tpu.models.decoder import apply_lm_head
+    from asvd4llm_tpu.models.scan_forward import forward_hidden_scan
+
+    rows = ids[:limit]
+    n, L = rows.shape
+    rb = min(4, n)
+    n_full = (n // rb) * rb
+    chunks = rows[:n_full].reshape(n // rb, rb, L)
+
+    def nll(w_hat, batch):
+        inputs = batch[:, :-1]
+        labels = batch[:, 1:]
+        hidden = forward_hidden_scan(params, inputs, spec, stacked=stacked,
+                                     substitute=(key, target, w_hat))
+        logits = apply_lm_head(params, spec, hidden)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(logp, labels[..., None],
+                                    axis=-1)[..., 0].mean(axis=-1)
+
+    def eval_one(w_hat):
+        def body(carry, chunk):
+            return carry + nll(w_hat, chunk).sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), chunks)
+        if n_full < n:
+            total = total + nll(w_hat, rows[n_full:]).sum()
+        return jnp.exp(total / n)
+
+    return jax.vmap(eval_one)(w_hats)
+
+
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None,
                           batch_ratios: bool | None = None,
@@ -187,6 +226,12 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
     sensitivity: dict = {}
     include_extras = getattr(cfg, "compress_all_linears", True)
     names = [name for name, _ in iter_linears(params, spec, include_extras)]
+    # scan-stacked evaluator: compiles O(1) in depth (decisive for 7B-class
+    # models where the unrolled per-bucket compile costs minutes and scales
+    # with layer count); requires a uniform all-dense model
+    from asvd4llm_tpu.models.scan_forward import can_scan, stack_layers
+    use_scan_eval = batch_ratios and can_scan(params, spec)
+    stacked = stack_layers(params, spec) if use_scan_eval else None
     from asvd4llm_tpu.models.registry import extra_linear_names
     extras = set(extra_linear_names(params, spec)) if include_extras else set()
     t0 = time.time()
@@ -246,9 +291,14 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                 w_hats = jax.device_put(
                     w_hats, NamedSharding(mesh, P("dp", None, None)))
             layer_idx, leaf_key = parse_linear_name(spec, name)
-            ppls = _ppl_multi_ratio_bucketed(
-                params, spec, jnp.asarray(input_ids), leaf_key,
-                jnp.int32(layer_idx), w_hats, limit)
+            if use_scan_eval:
+                ppls = _ppl_multi_ratio_scan(
+                    params, stacked, spec, jnp.asarray(input_ids), leaf_key,
+                    jnp.int32(layer_idx), w_hats, limit)
+            else:
+                ppls = _ppl_multi_ratio_bucketed(
+                    params, spec, jnp.asarray(input_ids), leaf_key,
+                    jnp.int32(layer_idx), w_hats, limit)
             finite = np.asarray(finite)
             for j, (ratio, ppl) in enumerate(zip(valid, np.asarray(ppls))):
                 sensitivity[name][ratio] = float(ppl) if finite[j] \

@@ -138,8 +138,18 @@ def _layer_scan_body(spec, x, layer, cos, sin, mask):
     return residual + mlp
 
 
-def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None):
-    """Embeddings + lax.scan over stacked layers + final norm."""
+def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None,
+                        stacked=None, substitute=None):
+    """Embeddings + lax.scan over stacked layers + final norm.
+
+    stacked: pre-stacked layers (stack_layers output) to avoid restacking
+    per call when the caller evaluates many variants of one model.
+    substitute: optional (leaf_key, target_idx, w_hat) — layer target's
+    `leaf_key` dense weight is replaced by w_hat via a TRACED select
+    inside the scan body, so the compiled program is independent of BOTH
+    the model depth and which layer is substituted (the sensitivity
+    scan's whole-grid evaluator compiles once per shape bucket, O(1) in
+    depth)."""
     B, S = input_ids.shape
     x = params["embed_tokens"][input_ids]
     if spec.embed_scale != 1.0:
@@ -164,14 +174,22 @@ def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None):
         _causal_mask(spec, sliding_idx, positions, positions, pad_mask)
     flags = jnp.asarray([spec.layer_uses_sliding(i) for i in range(L)])
 
-    stacked = stack_layers(params, spec)
+    if stacked is None:
+        stacked = stack_layers(params, spec)
 
     def body(x, scanned):
-        layer, sliding = scanned
+        layer, sliding, idx = scanned
+        if substitute is not None:
+            sub_key, target, w_hat = substitute
+            leaf = dict(layer[sub_key])
+            leaf["w"] = jnp.where(idx == target, w_hat,
+                                  leaf["w"]).astype(leaf["w"].dtype)
+            layer = {**layer, sub_key: leaf}
         mask = jnp.where(sliding, sliding_mask, global_mask)
         return _layer_scan_body(spec, x, layer, cos, sin, mask), None
 
-    x, _ = jax.lax.scan(body, x, (stacked, flags))
+    x, _ = jax.lax.scan(body, x, (stacked, flags,
+                                  jnp.arange(L, dtype=jnp.int32)))
     if spec.final_norm and params.get("final_norm") is not None:
         x = apply_norm(spec, params["final_norm"], x)
     return x

@@ -23,7 +23,27 @@ import jax.numpy as jnp
 
 
 def _exact_truncated_svd(w: jax.Array, rank: int):
-    u, s, vh = jnp.linalg.svd(w.astype(jnp.float32), full_matrices=False)
+    w = w.astype(jnp.float32)
+    m, n = w.shape
+    # VERY tall/wide matrices (the 32000x4096 lm_head) take the Gram path:
+    # XLA's SVD decomposition program for the full matrix is so large that
+    # compiling it OOM-kills the compile service; the Gram matrix keeps the
+    # decomposition at [min, min]. Accuracy: squares the condition number —
+    # harmless here (factors feed a truncation that discards the small
+    # singular directions anyway), and the small-matrix exact path that the
+    # parity tests pin is unchanged.
+    if max(m, n) >= 4 * min(m, n) and max(m, n) >= 16384:
+        if m >= n:
+            c = w.T @ w                          # [n, n]
+            s2, v = jnp.linalg.eigh(c)           # ascending
+            s2 = s2[::-1]
+            v = v[:, ::-1]
+            s = jnp.sqrt(jnp.maximum(s2, 0.0))
+            u = (w @ v) / jnp.maximum(s, 1e-12)[None, :]
+            return u[:, :rank], s[:rank], v.T[:rank, :]
+        u, s, vh = _exact_truncated_svd(w.T, rank)
+        return vh.T, s, u.T
+    u, s, vh = jnp.linalg.svd(w, full_matrices=False)
     return u[:, :rank], s[:rank], vh[:rank, :]
 
 
