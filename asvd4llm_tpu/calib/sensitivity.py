@@ -228,9 +228,21 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
     names = [name for name, _ in iter_linears(params, spec, include_extras)]
     # scan-stacked evaluator: compiles O(1) in depth (decisive for 7B-class
     # models where the unrolled per-bucket compile costs minutes and scales
-    # with layer count); requires a uniform all-dense model
+    # with layer count); requires a uniform all-dense model. The stacked
+    # copy DUPLICATES the decoder weights on device, so fall back to the
+    # unrolled evaluator when two copies cannot fit in HBM.
     from asvd4llm_tpu.models.scan_forward import can_scan, stack_layers
     use_scan_eval = batch_ratios and can_scan(params, spec)
+    if use_scan_eval and jax.default_backend() == "tpu":
+        layer_bytes = sum(
+            int(np.prod(leaf["w"].shape)) * leaf["w"].dtype.itemsize
+            for layer in params["layers"]
+            for leaf in layer.values() if isinstance(leaf, dict) and "w" in leaf)
+        if 2 * layer_bytes > 11 * 1024 ** 3:
+            log.info("scan-stacked evaluator disabled: duplicate decoder "
+                     "weights (%.1f GB x2) would exceed HBM; using the "
+                     "unrolled evaluator", layer_bytes / 2 ** 30)
+            use_scan_eval = False
     stacked = stack_layers(params, spec) if use_scan_eval else None
     from asvd4llm_tpu.models.registry import extra_linear_names
     extras = set(extra_linear_names(params, spec)) if include_extras else set()
