@@ -213,63 +213,14 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
             return None
         return LowRankFactors(a, b_f, leaf["b"])
 
-    def _prefill_svd_cache_batched(names_todo):
-        """Populate svd_cache for the final pass with CHUNKED BATCHED SVDs:
-        leaves group by weight shape (max_rank is shape-determined, the
-        grid is global), and each chunk of up to 4 runs as one vmapped SVD
-        program — one compile + one dispatch per chunk instead of an
-        eager per-leaf SVD round-trip (measured ~23 s/leaf through the
-        tunnel even compile-warm)."""
-        from asvd4llm_tpu.ops.svd import batched_truncated_svd
-
-        groups: dict = {}
-        for name in names_todo:
-            if svd_cache.get(name) is not None:
-                continue
-            leaf = get_linear(params, spec, name)
-            groups.setdefault(leaf_shape(leaf), []).append(name)
-        chunk = 4
-        nonlocal key
-        for shape, group in groups.items():
-            out_f, in_f = shape
-            cand = [r for r in sensitivity_dict[group[0]] if r < 1] + [1.0]
-            max_rank = max(min(rank_for_param_ratio(in_f, out_f, r,
-                                                    cfg.rank_align),
-                               in_f, out_f) for r in cand)
-            for c0 in range(0, len(group), chunk):
-                part = group[c0:c0 + chunk]
-                scaled, scales, leaves = [], [], []
-                for name in part:
-                    leaf = get_linear(params, spec, name)
-                    scale = None
-                    if cfg.act_aware:
-                        scale = build_scaling_vector(
-                            None if stats is None else stats.get(name),
-                            None if fisher is None else fisher.get(name),
-                            cfg.alpha)
-                    w32 = leaf["w"].astype(jnp.float32)
-                    if scale is not None:
-                        w32 = w32 * scale[None, :]
-                    scaled.append(w32)
-                    scales.append(scale)
-                    leaves.append(leaf)
-                pad = chunk - len(part) if len(group) > chunk else 0
-                ws = jnp.stack(scaled + [scaled[0]] * pad)
-                key, sub = jax.random.split(key)
-                us, ss, vhs = batched_truncated_svd(
-                    ws, max(max_rank, 1), backend=cfg.svd_backend, key=sub)
-                for j, name in enumerate(part):
-                    vh = vhs[j] if scales[j] is None \
-                        else vhs[j] / scales[j][None, :]
-                    svd_cache[name] = (us[j], ss[j], vh, leaves[j])
-
     # final decomposition at the last computed mid (ref :104-131 reuses
-    # `mid` from the loop, parity quirk kept)
+    # `mid` from the loop, parity quirk kept). Per-leaf SVDs are serial on
+    # purpose: the jitted exact SVD is ~0.9 s/leaf warm, while the vmapped
+    # batched form measured 3x SLOWER per matrix on chip (XLA's batched
+    # Jacobi SVD does not parallelize across the batch).
     log.info("=== Searching done, decomposing layers... ===")
     ratios = config_at(mid)
     t0 = time.time()
-    _prefill_svd_cache_batched(
-        [n for n, r in ratios.items() if r != default_param_ratio])
     manifest: dict = {}
     out = params
     for name, r in ratios.items():

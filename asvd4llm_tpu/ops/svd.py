@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=("rank",))
 def _exact_truncated_svd(w: jax.Array, rank: int):
+    """NOTE: jitted (static rank) so the compiled SVD lands in the
+    PERSISTENT compilation cache — eager dispatches do not, and a cold
+    process paid a ~340 s recompile per SVD shape through the TPU tunnel."""
     w = w.astype(jnp.float32)
     m, n = w.shape
     # VERY tall/wide matrices (the 32000x4096 lm_head) take the Gram path:
