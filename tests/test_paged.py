@@ -381,6 +381,58 @@ def test_sampling_engine(tiny):
     assert run(0.0, 0) == np.asarray(greedy)[0, 9:].tolist()
 
 
+def test_paged_engine_opt_family(tmp_path):
+    """OPT (learned positions, out_proj naming, pre-norm) through the
+    paged engine: chunked admission + ragged decode == flat generate."""
+    cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=True, tie_word_embeddings=False)
+    torch.manual_seed(4)
+    model = transformers.OPTForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    rng = np.random.RandomState(10)
+    prompts = [rng.randint(2, 128, size=(n,)) for n in (6, 9)]
+
+    eng = PagedEngine(params, spec, max_batch=2, page_size=8, num_pages=32,
+                      max_pages_per_seq=4, prefill_chunk=4)
+    rids = [eng.add_request(p, max_new_tokens=6) for p in prompts]
+    eng.run(chunk=3)
+    for p, rid in zip(prompts, rids):
+        solo = generate(params, spec, jnp.asarray(p[None, :]),
+                        max_new_tokens=6)
+        np.testing.assert_array_equal(eng.result(rid),
+                                      np.asarray(solo)[0, len(p):])
+
+
+def test_paged_engine_gemma2_style(tmp_path):
+    """Gemma-2 features through the paged engine: logit softcap, sliding
+    window on alternating layers, post-attention/post-MLP norms, tied
+    embeddings. Paged ragged decode must equal flat generate."""
+    cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128, sliding_window=8,
+        attn_logit_softcapping=30.0, final_logit_softcapping=20.0)
+    torch.manual_seed(6)
+    model = transformers.Gemma2ForCausalLM(cfg).eval()
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    assert spec.layer_uses_sliding(0) != spec.layer_uses_sliding(1)
+    rng = np.random.RandomState(11)
+    prompts = [rng.randint(1, 128, size=(n,)) for n in (12, 7)]
+
+    eng = PagedEngine(params, spec, max_batch=2, page_size=8, num_pages=32,
+                      max_pages_per_seq=4)
+    rids = [eng.add_request(p, max_new_tokens=6) for p in prompts]
+    eng.run()
+    for p, rid in zip(prompts, rids):
+        solo = generate(params, spec, jnp.asarray(p[None, :]),
+                        max_new_tokens=6)
+        np.testing.assert_array_equal(
+            eng.result(rid), np.asarray(solo)[0, len(p):],
+            err_msg="gemma2 paged decode diverged (softcap/sliding)")
+
+
 def test_eos_early_retirement(tiny):
     """EOS mid-stream retires the request (token list ends at EOS) while
     the other slot keeps decoding."""
