@@ -157,49 +157,272 @@ def _ppl_multi_ratio_bucketed(params, spec, ids, key, target, w_hats, limit):
     return jax.vmap(eval_one)(w_hats)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "key", "limit"))
-def _ppl_multi_ratio_scan(params, stacked, spec, ids, key, target, w_hats,
-                          limit):
-    """Scan-stacked variant of _ppl_multi_ratio_bucketed: the substitution
-    rides INSIDE the lax.scan body (models/scan_forward.py), so the
-    compiled program is O(1) in model depth — at 7B-class depth the
-    unrolled evaluator's per-bucket compile costs minutes through the TPU
-    tunnel and scales with layer count. Requires a uniform all-dense model
-    (can_scan); numerically identical to the unrolled evaluator."""
-    from asvd4llm_tpu.models.decoder import apply_lm_head
-    from asvd4llm_tpu.models.scan_forward import forward_hidden_scan
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _embed_rows(params, spec, rows):
+    """[n, S] id rows -> layer-0 input hidden [n, S-1, H] (inputs are
+    rows[:, :-1]; labels are rows[:, 1:])."""
+    from asvd4llm_tpu.models.scan_forward import embed_scan_inputs
 
-    rows = ids[:limit]
-    n, L = rows.shape
-    rb = min(4, n)
+    x, _, _ = embed_scan_inputs(params, rows[:, :-1], spec)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "rb"))
+def _advance_rows(params, stacked, spec, hidden, idx, rb):
+    """Apply dense decoder layer `idx` (traced) to every row's cached
+    hidden — the incremental prefix update after a layer's grid is done.
+    Rows go rb at a time to bound the attention score transient."""
+    from asvd4llm_tpu.models.scan_forward import apply_stacked_layer
+
+    n = hidden.shape[0]
     n_full = (n // rb) * rb
-    chunks = rows[:n_full].reshape(n // rb, rb, L)
+    chunks = hidden[:n_full].reshape(n // rb, rb, *hidden.shape[1:])
 
-    def nll(w_hat, batch):
-        inputs = batch[:, :-1]
-        labels = batch[:, 1:]
-        hidden = forward_hidden_scan(params, inputs, spec, stacked=stacked,
-                                     substitute=(key, target, w_hat))
-        logits = apply_lm_head(params, spec, hidden)
+    def body(_, h):
+        return None, apply_stacked_layer(params, h, spec, stacked=stacked,
+                                         idx=idx)
+    _, out = jax.lax.scan(body, None, chunks)
+    out = out.reshape(n_full, *hidden.shape[1:])
+    if n_full < n:
+        rem = apply_stacked_layer(params, hidden[n_full:], spec,
+                                  stacked=stacked, idx=idx)
+        out = jnp.concatenate([out, rem], axis=0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "leaf_key", "rb"))
+def _ppl_multi_ratio_suffix(params, stacked, spec, hidden, labels, leaf_key,
+                            target, w_hats, rb):
+    """Prefix-cached grid evaluator: `hidden` is the dense model's hidden
+    at layer `target`'s input (layers < target already applied — identical
+    to what the full forward would compute, since a single-layer trial
+    only diverges FROM the substituted layer). Each candidate therefore
+    pays only the target..L-1 suffix plus the lm_head: half the full
+    forward on average over a scan, and the suffix scan itself skips the
+    prefix iterations via lax.cond (no weight fetch). Compiles once per
+    (leaf_key, shapes) — O(1) in depth and independent of target."""
+    from asvd4llm_tpu.models.decoder import apply_lm_head
+    from asvd4llm_tpu.models.scan_forward import forward_hidden_scan_from
+
+    n = hidden.shape[0]
+    n_full = (n // rb) * rb
+    h_chunks = hidden[:n_full].reshape(n // rb, rb, *hidden.shape[1:])
+    l_chunks = labels[:n_full].reshape(n // rb, rb, labels.shape[1])
+
+    def nll(w_hat, h, lab):
+        out = forward_hidden_scan_from(params, h, spec, stacked=stacked,
+                                       start=target,
+                                       substitute=(leaf_key, target, w_hat))
+        logits = apply_lm_head(params, spec, out)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return -jnp.take_along_axis(logp, labels[..., None],
+        return -jnp.take_along_axis(logp, lab[..., None],
                                     axis=-1)[..., 0].mean(axis=-1)
 
     def eval_one(w_hat):
-        def body(carry, chunk):
-            return carry + nll(w_hat, chunk).sum(), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), chunks)
+        def body(carry, xs):
+            h, lab = xs
+            return carry + nll(w_hat, h, lab).sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), (h_chunks, l_chunks))
         if n_full < n:
-            total = total + nll(w_hat, rows[n_full:]).sum()
+            total = total + nll(w_hat, hidden[n_full:], labels[n_full:]).sum()
         return jnp.exp(total / n)
 
     return jax.vmap(eval_one)(w_hats)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "rb"))
+def _ppl_head_grid(params, spec, hidden, labels, w_hats, bias, rb):
+    """lm_head candidates leave the decoder untouched, so the hidden after
+    ALL layers (pre final-norm) is fixed: each grid point costs one head
+    GEMM + CE instead of the reference's full forward per ratio
+    (ref sensitivity.py:43-59 applied to the lm_head module)."""
+    from asvd4llm_tpu.models.decoder import apply_lm_head
+    from asvd4llm_tpu.models.scan_forward import _finish_hidden
+
+    n = hidden.shape[0]
+    n_full = (n // rb) * rb
+    h_chunks = hidden[:n_full].reshape(n // rb, rb, *hidden.shape[1:])
+    l_chunks = labels[:n_full].reshape(n // rb, rb, labels.shape[1])
+
+    def nll(w_hat, h, lab):
+        h_fin = _finish_hidden(params, spec, h)
+        trial = dict(params)
+        trial["lm_head"] = {"w": w_hat, "b": bias}
+        logits = apply_lm_head(trial, spec, h_fin)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(logp, lab[..., None],
+                                    axis=-1)[..., 0].mean(axis=-1)
+
+    def eval_one(w_hat):
+        def body(carry, xs):
+            h, lab = xs
+            return carry + nll(w_hat, h, lab).sum(), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), (h_chunks, l_chunks))
+        if n_full < n:
+            total = total + nll(w_hat, hidden[n_full:], labels[n_full:]).sum()
+        return jnp.exp(total / n)
+
+    return jax.vmap(eval_one)(w_hats)
+
+
+def _resolve_backend(cfg, out_f, in_f, max_rank):
+    backend = cfg.svd_backend
+    if backend == "auto":
+        # measured crossover on v5e: svd_bench_r2.json (ops/svd.py)
+        small = (out_f * in_f <= 1024 * 1024) or \
+            (max_rank >= 0.5 * min(out_f, in_f))
+        backend = "exact" if small else "randomized"
+    return backend
+
+
+def _prep_grid_candidates(leaf, grid, cfg, scale, sub, mesh):
+    """Shared candidate prep for the batched evaluators: one SVD at the
+    grid's max rank, every valid ratio's dense recomposition stacked on a
+    leading candidate axis (dp-sharded over the mesh when present).
+    Returns (valid_ratios, w_hats, finite) — w_hats is None if no ratio
+    yields a positive rank."""
+    out_f, in_f = leaf_shape(leaf)
+    ranks = {r: min(rank_for_param_ratio(in_f, out_f, r, cfg.rank_align),
+                    in_f, out_f) for r in grid}
+    valid = [r for r in grid if ranks[r] > 0]
+    if not valid:
+        return valid, None, None
+    backend = _resolve_backend(cfg, out_f, in_f, max(ranks.values()))
+    scale_vec = scale if scale is not None else jnp.ones((in_f,), jnp.float32)
+    ranks_tuple = tuple(ranks[r] for r in valid)
+    if mesh is not None and mesh.shape.get("dp", 1) > 1:
+        # pad the candidate axis to a dp multiple so the grid always
+        # shards (the 6-point weight grid on dp=4/8 used to silently
+        # fall back to replication); padded slots re-evaluate the
+        # last rank and are dropped by the caller's zip(valid, ...)
+        dp = mesh.shape["dp"]
+        pad = (-len(ranks_tuple)) % dp
+        if pad:
+            log.info("dp-sharding: padding %d candidates to %d (dp=%d)",
+                     len(ranks_tuple), len(ranks_tuple) + pad, dp)
+        ranks_tuple = ranks_tuple + (ranks_tuple[-1],) * pad
+    w_hats, finite = _recompose_stack(leaf["w"], scale_vec, ranks_tuple,
+                                      backend, sub)
+    if mesh is not None and mesh.shape.get("dp", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        w_hats = jax.device_put(
+            w_hats, NamedSharding(mesh, P("dp", None, None)))
+    return valid, w_hats, finite
+
+
+def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
+                             stats, fisher, mesh, include_extras,
+                             timings=None) -> dict:
+    """Layer-major scan driver (uniform all-dense models): walks layers in
+    order, keeps the dense model's hidden at the current layer's input
+    cached on device, and scores each leaf's whole ratio grid with the
+    prefix-cached suffix evaluator — every candidate pays only the
+    layers-from-target suffix (half the full forward on average) plus the
+    head. lm_head grid points reuse the final hidden and cost one head
+    GEMM each. Numerically identical to the reference's full-forward
+    rescan (the prefix of a single-layer trial IS the dense prefix)."""
+    from asvd4llm_tpu.models.registry import (
+        LM_HEAD_NAME, extra_linear_names, layer_linear_keys, linear_name,
+    )
+    from asvd4llm_tpu.models.scan_forward import stack_layers
+
+    stacked = stack_layers(params, spec)
+    limit = min(cfg.n_calib_samples, input_ids.shape[0])
+    rows = jnp.asarray(input_ids[:limit])
+    n, S = rows.shape
+    labels = rows[:, 1:]
+    # chunk sizes bound the attention-score transient; the suffix
+    # evaluator additionally vmaps the whole candidate grid over rb rows
+    rb = min(max(1, 2048 // max(S - 1, 1)), n)
+    rb_adv = min(max(1, 4096 // S), n)
+    hidden = _embed_rows(params, spec, rows)
+
+    sensitivity: dict = {}
+    key = jax.random.PRNGKey(cfg.seed)
+    t0 = time.time()
+    n_pts = 0
+    L = len(params["layers"])
+    for li in range(L):
+        for k in layer_linear_keys(spec):
+            t_name = time.time()
+            name = linear_name(spec, li, k)
+            leaf = params["layers"][li][k]
+            scale = build_scaling_vector(
+                None if stats is None else stats.get(name),
+                None if fisher is None else fisher.get(name), cfg.alpha)
+            sensitivity[name] = {}
+            key, sub = jax.random.split(key)
+            valid, w_hats, finite = _prep_grid_candidates(
+                leaf, grid, cfg, scale, sub, mesh)
+            for ratio in set(grid) - set(valid):
+                sensitivity[name][ratio] = float("inf")
+            if not valid:
+                continue
+            ppls = _ppl_multi_ratio_suffix(
+                params, stacked, spec, hidden, labels, k, jnp.int32(li),
+                w_hats, rb)
+            finite = np.asarray(finite)
+            for j, (ratio, ppl) in enumerate(zip(valid, np.asarray(ppls))):
+                sensitivity[name][ratio] = float(ppl) if finite[j] \
+                    else float("inf")
+                n_pts += 1
+            if timings is not None:
+                timings.append((name, li, time.time() - t_name))
+            log.info("sensitivity %s done (%d pts, %.1fs elapsed)",
+                     name, n_pts, time.time() - t0)
+        # advance the cached prefix past this (dense) layer
+        hidden = _advance_rows(params, stacked, spec, hidden,
+                               jnp.int32(li), rb_adv)
+
+    if include_extras:
+        for name in extra_linear_names(params, spec):
+            t_name = time.time()
+            leaf = get_linear(params, spec, name)
+            scale = build_scaling_vector(
+                None if stats is None else stats.get(name),
+                None if fisher is None else fisher.get(name), cfg.alpha)
+            sensitivity[name] = {}
+            key, sub = jax.random.split(key)
+            if name == LM_HEAD_NAME:
+                valid, w_hats, finite = _prep_grid_candidates(
+                    leaf, grid, cfg, scale, sub, mesh)
+                for ratio in set(grid) - set(valid):
+                    sensitivity[name][ratio] = float("inf")
+                if not valid:
+                    continue
+                ppls = _ppl_head_grid(params, spec, hidden, labels, w_hats,
+                                      leaf["b"], rb)
+                finite = np.asarray(finite)
+                for j, (ratio, ppl) in enumerate(zip(valid,
+                                                     np.asarray(ppls))):
+                    sensitivity[name][ratio] = float(ppl) if finite[j] \
+                        else float("inf")
+                    n_pts += 1
+            else:
+                # OPT-350m project_in/out: before/after the whole decoder —
+                # no suffix to save; serial full evals (2 leaves, tiny)
+                leaves = _recomposed_dense_all_ratios(
+                    leaf["w"], leaf["b"], grid, scale, cfg.rank_align,
+                    cfg.svd_backend, sub)
+                valid = [r for r in grid if leaves[r] is not None]
+                for ratio in set(grid) - set(valid):
+                    sensitivity[name][ratio] = float("inf")
+                for ratio in valid:
+                    trial = set_linear(params, spec, name, leaves[ratio])
+                    sensitivity[name][ratio] = evaluate_perplexity(
+                        trial, spec, input_ids, cfg.n_calib_samples)
+                    n_pts += 1
+            if timings is not None:
+                timings.append((name, -1, time.time() - t_name))
+            log.info("sensitivity %s done (%d pts, %.1fs elapsed)",
+                     name, n_pts, time.time() - t0)
+    return sensitivity
+
+
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None,
                           batch_ratios: bool | None = None,
-                          mesh=None) -> dict:
+                          mesh=None, timings=None) -> dict:
     """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
     (ref sensitivity.py:10-61). Always act-aware (ref :50).
 
@@ -223,15 +446,13 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
     input_ids = np.concatenate(
         [np.asarray(b["input_ids"]) for b in calib_loader], axis=0)
 
-    sensitivity: dict = {}
     include_extras = getattr(cfg, "compress_all_linears", True)
-    names = [name for name, _ in iter_linears(params, spec, include_extras)]
     # scan-stacked evaluator: compiles O(1) in depth (decisive for 7B-class
     # models where the unrolled per-bucket compile costs minutes and scales
     # with layer count); requires a uniform all-dense model. The stacked
     # copy DUPLICATES the decoder weights on device, so fall back to the
     # unrolled evaluator when two copies cannot fit in HBM.
-    from asvd4llm_tpu.models.scan_forward import can_scan, stack_layers
+    from asvd4llm_tpu.models.scan_forward import can_scan
     use_scan_eval = batch_ratios and can_scan(params, spec)
     if use_scan_eval and jax.default_backend() == "tpu":
         layer_bytes = sum(
@@ -243,7 +464,16 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                      "weights (%.1f GB x2) would exceed HBM; using the "
                      "unrolled evaluator", layer_bytes / 2 ** 30)
             use_scan_eval = False
-    stacked = stack_layers(params, spec) if use_scan_eval else None
+    if use_scan_eval:
+        sensitivity = _scan_suffix_sensitivity(
+            params, spec, input_ids, grid, cfg, stats=stats, fisher=fisher,
+            mesh=mesh, include_extras=include_extras, timings=timings)
+        if cache is not None:
+            cache.save_json("sensitivity", cfg.sensitivity_key(), sensitivity)
+        return sensitivity
+
+    sensitivity: dict = {}
+    names = [name for name, _ in iter_linears(params, spec, include_extras)]
     from asvd4llm_tpu.models.registry import extra_linear_names
     extras = set(extra_linear_names(params, spec)) if include_extras else set()
     t0 = time.time()
@@ -266,51 +496,16 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
         if batch_ratios and name not in extras:
             from asvd4llm_tpu.models.registry import parse_linear_name
 
-            out_f, in_f = leaf_shape(leaf)
-            ranks = {r: min(rank_for_param_ratio(in_f, out_f, r,
-                                                 cfg.rank_align), in_f, out_f)
-                     for r in grid}
-            valid = [r for r in grid if ranks[r] > 0]
+            valid, w_hats, finite = _prep_grid_candidates(
+                leaf, grid, cfg, scale, sub, mesh)
             for ratio in set(grid) - set(valid):
                 sensitivity[name][ratio] = float("inf")
             if not valid:
                 continue
-            backend = cfg.svd_backend
-            if backend == "auto":
-                # measured crossover on v5e: svd_bench_r2.json (ops/svd.py)
-                small = (out_f * in_f <= 1024 * 1024) or \
-                    (max(ranks.values()) >= 0.5 * min(out_f, in_f))
-                backend = "exact" if small else "randomized"
-            scale_vec = scale if scale is not None else \
-                jnp.ones((in_f,), jnp.float32)
-            ranks_tuple = tuple(ranks[r] for r in valid)
-            if mesh is not None and mesh.shape.get("dp", 1) > 1:
-                # pad the candidate axis to a dp multiple so the grid always
-                # shards (the 6-point weight grid on dp=4/8 used to silently
-                # fall back to replication); padded slots re-evaluate the
-                # last rank and are dropped below
-                dp = mesh.shape["dp"]
-                pad = (-len(ranks_tuple)) % dp
-                if pad:
-                    log.info("dp-sharding: padding %d candidates to %d "
-                             "(dp=%d)", len(ranks_tuple),
-                             len(ranks_tuple) + pad, dp)
-                ranks_tuple = ranks_tuple + (ranks_tuple[-1],) * pad
-            w_hats, finite = _recompose_stack(
-                leaf["w"], scale_vec, ranks_tuple, backend, sub)
-            if mesh is not None and mesh.shape.get("dp", 1) > 1:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                w_hats = jax.device_put(
-                    w_hats, NamedSharding(mesh, P("dp", None, None)))
             layer_idx, leaf_key = parse_linear_name(spec, name)
-            if use_scan_eval:
-                ppls = _ppl_multi_ratio_scan(
-                    params, stacked, spec, jnp.asarray(input_ids), leaf_key,
-                    jnp.int32(layer_idx), w_hats, limit)
-            else:
-                ppls = _ppl_multi_ratio_bucketed(
-                    params, spec, jnp.asarray(input_ids), leaf_key,
-                    jnp.int32(layer_idx), w_hats, limit)
+            ppls = _ppl_multi_ratio_bucketed(
+                params, spec, jnp.asarray(input_ids), leaf_key,
+                jnp.int32(layer_idx), w_hats, limit)
             finite = np.asarray(finite)
             for j, (ratio, ppl) in enumerate(zip(valid, np.asarray(ppls))):
                 sensitivity[name][ratio] = float(ppl) if finite[j] \

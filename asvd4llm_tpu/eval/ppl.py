@@ -83,8 +83,10 @@ def evaluate_perplexity(params, spec, dataset, limit: int = -1,
     ids = jnp.asarray(np.asarray(dataset))
     if limit is not None and 0 < limit < ids.shape[0]:
         ids = ids[:limit]
-    return float(_ppl_rows_jit(params, spec, ids, min(row_batch,
-                                                      ids.shape[0])))
+    # long rows shrink the batch so the unblocked attention-score
+    # transient (rb * H * S^2 f32) stays bounded at canonical seqlen 2048
+    rb = min(row_batch, max(1, 4096 // ids.shape[1]), ids.shape[0])
+    return float(_ppl_rows_jit(params, spec, ids, rb))
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "use_bos",

@@ -37,6 +37,12 @@ def can_scan(params: dict, spec) -> bool:
     layers = params["layers"]
     if not layers:
         return False
+    # OPT-350m projections ride outside the layer scan but must be dense
+    # for the scan forward's dense_apply tail/head
+    for pk in ("project_in", "project_out"):
+        leaf = params.get(pk)
+        if leaf is not None and (is_lowrank(leaf) or "A8" in leaf):
+            return False
     keys = layer_linear_keys(spec)
     ref = layers[0]
     for layer in layers:
@@ -73,6 +79,12 @@ def stack_layers(params: dict, spec) -> dict:
     return stacked
 
 
+# the scan evaluators vmap candidates over this forward, multiplying the
+# attention score transient by the candidate count — block over keys
+# earlier than the unbatched decoder forward does (decoder._BLOCK_MIN_SQ)
+_SCAN_BLOCK_MIN_SQ = 1024
+
+
 def _attention_scan(spec, layer, x, cos, sin, mask):
     B, S, _ = x.shape
     H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
@@ -87,18 +99,22 @@ def _attention_scan(spec, layer, x, cos, sin, mask):
     rep = H // KV
     scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
     qg = q.reshape(B, S, KV, rep, hd)
-    logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST) * scale
-    if spec.attn_logit_softcap > 0:
-        logits = spec.attn_logit_softcap * jnp.tanh(
-            logits / spec.attn_logit_softcap)
-    probs = jax.nn.softmax((logits + mask[:, :, None]).astype(jnp.float32),
-                           axis=-1).astype(v.dtype)
-    out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
-    out = out.reshape(B, S, H * hd)
+    if S >= _SCAN_BLOCK_MIN_SQ:
+        from asvd4llm_tpu.models.decoder import _attention_blocked
+        out = _attention_blocked(spec, qg, k, v, mask, scale)
+    else:
+        logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST) * scale
+        if spec.attn_logit_softcap > 0:
+            logits = spec.attn_logit_softcap * jnp.tanh(
+                logits / spec.attn_logit_softcap)
+        probs = jax.nn.softmax((logits + mask[:, :, None]).astype(jnp.float32),
+                               axis=-1).astype(v.dtype)
+        out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+        out = out.reshape(B, S, H * hd)
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
     return dense_apply(out, layer[o_key]["w"], layer[o_key]["b"])
 
@@ -138,6 +154,55 @@ def _layer_scan_body(spec, x, layer, cos, sin, mask):
     return residual + mlp
 
 
+def embed_scan_inputs(params, input_ids, spec):
+    """Embeddings (+ embed scale, OPT project_in, learned positions) — the
+    layer-0 input hidden states, and the rope tables."""
+    S = input_ids.shape[1]
+    x = params["embed_tokens"][input_ids]
+    if spec.embed_scale != 1.0:
+        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    if params.get("project_in") is not None:
+        # OPT-350m: word_embed_proj_dim -> hidden before positions
+        # (decoder.forward_hidden:331-335)
+        x = dense_apply(x, params["project_in"]["w"],
+                        params["project_in"]["b"])
+    positions = jnp.arange(S, dtype=jnp.int32)
+    if spec.pos_emb == "learned":
+        x = x + params["embed_positions"][positions + spec.pos_offset]
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
+    return x, cos, sin
+
+
+def scan_masks(spec, L, S, pad_mask=None):
+    """(global_mask, sliding_mask, per-layer sliding flags) for a scan
+    over L layers at sequence length S — the body selects between the two
+    masks so the scan stays shape-uniform across sliding/global layers."""
+    import dataclasses
+
+    positions = jnp.arange(S, dtype=jnp.int32)
+    no_sliding_spec = dataclasses.replace(spec, sliding_window=0)
+    global_mask = _causal_mask(no_sliding_spec, 0, positions, positions,
+                               pad_mask)
+    sliding_idx = next((i for i in range(L) if spec.layer_uses_sliding(i)),
+                       None)
+    sliding_mask = global_mask if sliding_idx is None else \
+        _causal_mask(spec, sliding_idx, positions, positions, pad_mask)
+    flags = jnp.asarray([spec.layer_uses_sliding(i) for i in range(L)])
+    return global_mask, sliding_mask, flags
+
+
+def _finish_hidden(params, spec, x):
+    """Final norm + OPT project_out (decoder.forward_hidden:372-377)."""
+    if spec.final_norm and params.get("final_norm") is not None:
+        x = apply_norm(spec, params["final_norm"], x)
+    if params.get("project_out") is not None:
+        x = dense_apply(x, params["project_out"]["w"],
+                        params["project_out"]["b"])
+    return x
+
+
 def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None,
                         stacked=None, substitute=None):
     """Embeddings + lax.scan over stacked layers + final norm.
@@ -151,28 +216,9 @@ def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None,
     scan's whole-grid evaluator compiles once per shape bucket, O(1) in
     depth)."""
     B, S = input_ids.shape
-    x = params["embed_tokens"][input_ids]
-    if spec.embed_scale != 1.0:
-        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
-    positions = jnp.arange(S, dtype=jnp.int32)
-    if spec.pos_emb == "learned":
-        x = x + params["embed_positions"][positions + spec.pos_offset]
-        cos = sin = None
-    else:
-        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
-
-    import dataclasses
-
+    x, cos, sin = embed_scan_inputs(params, input_ids, spec)
     L = len(params["layers"])
-    # per-layer sliding flag -> select between the two masks inside the body
-    no_sliding_spec = dataclasses.replace(spec, sliding_window=0)
-    global_mask = _causal_mask(no_sliding_spec, 0, positions, positions,
-                               pad_mask)
-    sliding_idx = next((i for i in range(L) if spec.layer_uses_sliding(i)),
-                       None)
-    sliding_mask = global_mask if sliding_idx is None else \
-        _causal_mask(spec, sliding_idx, positions, positions, pad_mask)
-    flags = jnp.asarray([spec.layer_uses_sliding(i) for i in range(L)])
+    global_mask, sliding_mask, flags = scan_masks(spec, L, S, pad_mask)
 
     if stacked is None:
         stacked = stack_layers(params, spec)
@@ -190,9 +236,71 @@ def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None,
 
     x, _ = jax.lax.scan(body, x, (stacked, flags,
                                   jnp.arange(L, dtype=jnp.int32)))
-    if spec.final_norm and params.get("final_norm") is not None:
-        x = apply_norm(spec, params["final_norm"], x)
-    return x
+    return _finish_hidden(params, spec, x)
+
+
+def _index_stacked(stacked, i):
+    """Slice layer i's leaves out of the stacked representation (executed
+    INSIDE a cond branch so skipped layers fetch no weights)."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+        stacked)
+
+
+def forward_hidden_scan_from(params, hidden, spec, *, stacked, start,
+                             substitute=None, pad_mask=None):
+    """Resume the stacked-layer scan at layer `start` (a TRACED int32)
+    from cached hidden states `hidden` [B, S, H] — embeddings and layers
+    < start already applied. Layers i < start are skipped by a lax.cond
+    whose taken branch does the weight gather, so the prefix costs neither
+    compute nor HBM weight traffic. This is the sensitivity scan's
+    prefix-cache: candidates at layer l only ever pay the l..L-1 suffix
+    (half the full forward on average), and the compiled program is still
+    O(1) in depth and independent of `start`."""
+    B, S, _ = hidden.shape
+    positions = jnp.arange(S, dtype=jnp.int32)
+    if spec.pos_emb == "learned":
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
+    L = len(params["layers"])
+    global_mask, sliding_mask, flags = scan_masks(spec, L, S, pad_mask)
+
+    def body(x, i):
+        def run(h):
+            layer = _index_stacked(stacked, i)
+            if substitute is not None:
+                sub_key, target, w_hat = substitute
+                leaf = dict(layer[sub_key])
+                leaf["w"] = jnp.where(i == target, w_hat,
+                                      leaf["w"]).astype(leaf["w"].dtype)
+                layer = {**layer, sub_key: leaf}
+            mask = jnp.where(flags[i], sliding_mask, global_mask)
+            return _layer_scan_body(spec, x, layer, cos, sin, mask)
+
+        return jax.lax.cond(i >= start, run, lambda h: h, x), None
+
+    x, _ = jax.lax.scan(body, hidden, jnp.arange(L, dtype=jnp.int32))
+    return _finish_hidden(params, spec, x)
+
+
+def apply_stacked_layer(params, hidden, spec, *, stacked, idx,
+                        pad_mask=None):
+    """Apply decoder layer `idx` (traced int32) to hidden [B, S, H] — the
+    incremental prefix-cache update: after layer l's grid is scored, one
+    call advances the cached dense hidden from layer l's input to layer
+    l+1's input."""
+    B, S, _ = hidden.shape
+    positions = jnp.arange(S, dtype=jnp.int32)
+    if spec.pos_emb == "learned":
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
+    L = len(params["layers"])
+    global_mask, sliding_mask, flags = scan_masks(spec, L, S, pad_mask)
+    layer = _index_stacked(stacked, idx)
+    mask = jnp.where(flags[idx], sliding_mask, global_mask)
+    return _layer_scan_body(spec, hidden, layer, cos, sin, mask)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

@@ -22,8 +22,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from asvd4llm_tpu.serving.paged import (
-    init_paged_pools, paged_decode_scan, paged_decode_step, pages_needed,
-    prefill_chunked_into_pages, prefill_into_pages,
+    init_paged_pools, paged_append_batch, paged_decode_scan,
+    paged_decode_step, pages_needed, prefill_into_pages,
 )
 
 log = logging.getLogger(__name__)
@@ -37,7 +37,12 @@ class _Request:
     tokens: list = field(default_factory=list)   # generated so far
     pages: list = field(default_factory=list)    # owned pool pages
     slot: int = -1
+    filled: int = 0               # prompt tokens already in the cache
     done: bool = False
+
+    @property
+    def decoding(self) -> bool:
+        return self.filled >= len(self.prompt)
 
 
 class PagedEngine:
@@ -123,7 +128,14 @@ class PagedEngine:
         return [self.free_pages.pop() for _ in range(n)]
 
     def _admit(self):
-        """Move waiting requests into free slots (prefill writes pages)."""
+        """Move waiting requests into free slots.
+
+        Whole-prompt mode (prefill_chunk == 0): prefill runs here, one
+        request at a time (a compiled program per novel prompt length).
+        Chunked mode: admission only assigns the slot and pages — the
+        prompt streams into the cache via _prefill_tick(), whose batched
+        segment dispatches interleave with decode chunks so active slots
+        never stall behind a long prompt."""
         for slot in range(len(self.slots)):
             if self.slots[slot] is not None or not self.waiting:
                 continue
@@ -134,26 +146,62 @@ class PagedEngine:
                 raise ValueError(f"prompt needs {n} pages > max_pages_per_seq")
             req.pages = self._alloc(n)
             req.slot = slot
-            if self.prefill_chunk:
-                row = np.zeros((self.page_table.shape[1],), np.int32)
-                row[:n] = req.pages
-                logits, self.pools = prefill_chunked_into_pages(
-                    self.params, self.spec,
-                    jnp.asarray(req.prompt[None, :]), self.pools, row,
-                    self.prefill_chunk)
-            else:
-                logits, self.pools = prefill_into_pages(
-                    self.params, self.spec,
-                    jnp.asarray(req.prompt[None, :]), self.pools, req.pages)
-            first = self._pick(np.asarray(logits)[0])
-            req.tokens.append(first)
             self.slots[slot] = req
-            self.page_table[slot, :] = 0
-            self.page_table[slot, :n] = req.pages
-            self.positions[slot] = S
-            self.cur_token[slot, 0] = first
-            if self._finished(req):
-                self._retire(req)
+            if self.prefill_chunk:
+                # decode-view arrays stay scratch (0) until decoding starts
+                continue
+            logits, self.pools = prefill_into_pages(
+                self.params, self.spec,
+                jnp.asarray(req.prompt[None, :]), self.pools, req.pages)
+            req.filled = S
+            self._start_decode(req, self._pick(np.asarray(logits)[0]))
+
+    def _start_decode(self, req: _Request, first: int):
+        """Prompt fully cached: emit the first token and expose real
+        pages/positions to the decode dispatch."""
+        slot = req.slot
+        req.tokens.append(first)
+        self.page_table[slot, :] = 0
+        self.page_table[slot, :len(req.pages)] = req.pages
+        self.positions[slot] = len(req.prompt)
+        self.cur_token[slot, 0] = first
+        if self._finished(req):
+            self._retire(req)
+
+    def _prefill_tick(self):
+        """One batched chunked-prefill dispatch: every admitted-but-not-
+        decoding request appends its next prefill_chunk prompt tokens
+        (per-row positions and page tables; padded rows write scratch).
+        Requests whose prompt completes this tick enter decode."""
+        filling = [r for r in self.slots
+                   if r is not None and not r.decoding]
+        if not filling:
+            return
+        C = self.prefill_chunk
+        MB = len(self.slots)
+        ids = np.zeros((MB, C), np.int32)
+        pt = np.zeros((MB, self.page_table.shape[1]), np.int32)
+        pos0 = np.zeros((MB,), np.int32)
+        for req in filling:
+            c0 = req.filled
+            seg = req.prompt[c0:c0 + C]
+            ids[req.slot, :len(seg)] = seg
+            pt[req.slot, :len(req.pages)] = req.pages
+            pos0[req.slot] = c0
+        logits, self.pools = paged_append_batch(
+            self.params, self.spec, jnp.asarray(ids), self.pools,
+            jnp.asarray(pt), jnp.asarray(pos0))
+        logits_np = None
+        for req in filling:
+            c0 = req.filled
+            take = min(C, len(req.prompt) - c0)
+            req.filled += take
+            if req.decoding:
+                if logits_np is None:
+                    logits_np = np.asarray(logits)
+                last = len(req.prompt) - 1 - c0   # index inside this chunk
+                self._start_decode(req,
+                                   self._pick(logits_np[req.slot, last]))
 
     def _finished(self, req: _Request) -> bool:
         if len(req.tokens) >= req.max_new_tokens:
@@ -175,8 +223,12 @@ class PagedEngine:
     # ------------------------------------------------------------- step --
 
     def step(self):
-        """Decode one token for every active slot (ragged positions)."""
-        active = [s for s in self.slots if s is not None]
+        """One admission segment (chunked mode) + one decode token for
+        every decoding slot (ragged positions) — prefill and decode
+        interleave instead of admission stalling the whole batch."""
+        if self.prefill_chunk:
+            self._prefill_tick()
+        active = [s for s in self.slots if s is not None and s.decoding]
         if not active:
             return
         # grow page tables where the next position opens a new page
@@ -211,7 +263,9 @@ class PagedEngine:
         n_steps tokens instead of every token, amortizing the host
         round-trip. Rows finishing mid-chunk have their surplus tokens
         discarded — output-identical to step()-by-step."""
-        active = [s for s in self.slots if s is not None]
+        if self.prefill_chunk:
+            self._prefill_tick()
+        active = [s for s in self.slots if s is not None and s.decoding]
         if not active:
             return
         for req in active:  # capacity for the whole chunk up front

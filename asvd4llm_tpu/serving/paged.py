@@ -264,66 +264,83 @@ def paged_decode_scan(params, spec, token, pools, page_table, positions,
     return toks.T, pools
 
 
-def _scatter_segment(pool_arr, page_table_row, positions, vals):
-    """Write a C-token segment of ONE sequence: vals [C, ...] land at
-    (page_table_row[pos_c // P], pos_c % P). Positions past the allocated
+def _scatter_segment(pool_arr, page_table, positions, vals):
+    """Write C-token segments of B sequences: vals [B, C, ...] land at
+    (page_table[b, pos_bc // P], pos_bc % P). Positions past the allocated
     pages resolve to the reserved scratch page 0 (padded tail of the last
-    chunk) and are never read back."""
+    chunk, or whole rows padded into the admission batch) and are never
+    read back. Rows own disjoint pages, so only scratch writes collide —
+    and scratch is never read meaningfully."""
     P = pool_arr.shape[1]
-    pages = page_table_row[positions // P]        # [C]
+    pages = jnp.take_along_axis(page_table, positions // P, axis=1)  # [B,C]
     slots = positions % P
     return pool_arr.at[pages, slots].set(vals.astype(pool_arr.dtype))
 
 
+def _rope_rows(x, cos_bc, sin_bc):
+    """Per-row-position RoPE: x [B, C, H, hd]; cos/sin [B, C, hd]."""
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    c = cos_bc[:, :, None, :].astype(jnp.float32)
+    s = sin_bc[:, :, None, :].astype(jnp.float32)
+    return (x.astype(jnp.float32) * c + rot.astype(jnp.float32) * s
+            ).astype(x.dtype)
+
+
 def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
                    layer_idx, up=False):
-    """Multi-token paged append-attention for ONE sequence (chunked
-    prefill): x [1, C, hidden] at absolute positions pos0..pos0+C-1;
-    writes the segment's cache entries into the pages, then attends each
-    query causally over everything written so far. `up` is accepted for
-    _decode_layer compatibility (fused kernels are decode-only)."""
-    pools, pt = cache["pools"], cache["pt"]       # pt: [1, MP]
-    C = x.shape[1]
+    """Multi-token paged append-attention for a BATCH of sequences
+    (chunked prefill): x [B, C, hidden], row b at absolute positions
+    pos0[b]..pos0[b]+C-1; writes each segment's cache entries into that
+    row's pages, then attends each query causally over everything written
+    so far. Rows are independent (disjoint page tables) — admission can
+    prefill every waiting request's next chunk in ONE dispatch. `up` is
+    accepted for _decode_layer compatibility (fused kernels are
+    decode-only)."""
+    pools, pt = cache["pools"], cache["pt"]       # pt: [B, MP]
+    B, C = x.shape[0], x.shape[1]
     H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
     P = next(iter(pools.values())).shape[1]
     T = pt.shape[1] * P
     rep = H // KV
-    positions = pos0 + jnp.arange(C)
-    pt_row = pt[0]
+    positions = pos0[:, None] + jnp.arange(C)[None, :]        # [B, C]
 
-    q = _apply_leaf(layer["q_proj"], x, False).reshape(1, C, H, hd)
-    cos_c = jax.lax.dynamic_slice_in_dim(cos_full, pos0, C)
-    sin_c = jax.lax.dynamic_slice_in_dim(sin_full, pos0, C)
+    q = _apply_leaf(layer["q_proj"], x, False).reshape(B, C, H, hd)
+    cos_c = cos_full[positions]                               # [B, C, hd]
+    sin_c = sin_full[positions]
     if spec.pos_emb == "rope":
-        q = apply_rope(q, cos_c, sin_c)
+        q = _rope_rows(q, cos_c, sin_c)
 
     scale = spec.attn_scale if spec.attn_scale is not None else hd ** -0.5
     k_pos = jnp.arange(T)
-    allow = k_pos[None, :] <= positions[:, None]  # [C, T]
+    allow = k_pos[None, None, :] <= positions[:, :, None]     # [B, C, T]
     if spec.layer_uses_sliding(layer_idx):
-        allow &= k_pos[None, :] > positions[:, None] - spec.sliding_window
-    mask = jnp.where(allow, 0.0, jnp.float32(-1e30))[None, None, None]
+        allow &= k_pos[None, None, :] > \
+            positions[:, :, None] - spec.sliding_window
+    mask = jnp.where(allow, 0.0, jnp.float32(-1e30))[:, None, None]
 
     def probs_of(k):
-        qg = q.reshape(1, C, KV, rep, hd)
+        qg = q.reshape(B, C, KV, rep, hd)
         logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST) * scale
         if spec.attn_logit_softcap > 0:
             logits = spec.attn_logit_softcap * jnp.tanh(
                 logits / spec.attn_logit_softcap)
-        return jax.nn.softmax(logits + mask, axis=-1)  # [1,g,r,C,T]
+        # mask [B, 1, 1, C, T] broadcasts over (g, r)
+        return jax.nn.softmax(logits + mask, axis=-1)  # [B,g,r,C,T]
 
     if "tk" in pools:  # latent kv
-        tk_new = _latent(layer["k_proj"], x)[0]       # [C, Rk]
-        tv_new = _latent(layer["v_proj"], x)[0]
-        tk_pool = _scatter_segment(pools["tk"], pt_row, positions, tk_new)
-        tv_pool = _scatter_segment(pools["tv"], pt_row, positions, tv_new)
+        tk_new = _latent(layer["k_proj"], x)          # [B, C, Rk]
+        tv_new = _latent(layer["v_proj"], x)
+        tk_pool = _scatter_segment(pools["tk"], pt, positions, tk_new)
+        tv_pool = _scatter_segment(pools["tv"], pt, positions, tv_new)
         new_pools = {"tk": tk_pool, "tv": tv_pool}
         tk = _flat_view(tk_pool, pt)
         tv = _flat_view(tv_pool, pt)
-        k = _up_k(layer["k_proj"], tk, 1, T, KV, hd)
+        k = _up_k(layer["k_proj"], tk, B, T, KV, hd)
         if spec.pos_emb == "rope":
+            # logical page positions ARE absolute sequence positions
             k = apply_rope(k, cos_full[:T], sin_full[:T])
         probs = probs_of(k)
         s = jnp.einsum("bgrqk,bkv->bgrqv", probs.astype(tv.dtype), tv,
@@ -336,16 +353,15 @@ def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
         if layer["v_proj"]["b"] is not None:
             vb = layer["v_proj"]["b"].reshape(KV, hd).astype(jnp.float32)
             out = out + vb[None, None, :, None, :]
-        out = out.astype(x.dtype).reshape(1, C, H * hd)
+        out = out.astype(x.dtype).reshape(B, C, H * hd)
     else:
-        k_new = _apply_leaf(layer["k_proj"], x, False).reshape(1, C, KV, hd)
+        k_new = _apply_leaf(layer["k_proj"], x, False).reshape(B, C, KV, hd)
         if spec.pos_emb == "rope":
-            k_new = apply_rope(k_new, cos_c, sin_c)
-        k_pool = _scatter_segment(pools["k"], pt_row, positions, k_new[0])
+            k_new = _rope_rows(k_new, cos_c, sin_c)
+        k_pool = _scatter_segment(pools["k"], pt, positions, k_new)
         if "tv" in pools:  # dense K + latent V
-            tv_new = _latent(layer["v_proj"], x)[0]
-            tv_pool = _scatter_segment(pools["tv"], pt_row, positions,
-                                       tv_new)
+            tv_new = _latent(layer["v_proj"], x)
+            tv_pool = _scatter_segment(pools["tv"], pt, positions, tv_new)
             new_pools = {"k": k_pool, "tv": tv_pool}
             tv = _flat_view(tv_pool, pt)
             probs = probs_of(_flat_view(k_pool, pt))
@@ -360,19 +376,18 @@ def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
                 vb = layer["v_proj"]["b"].reshape(KV, hd
                                                   ).astype(jnp.float32)
                 out = out + vb[None, None, :, None, :]
-            out = out.astype(x.dtype).reshape(1, C, H * hd)
+            out = out.astype(x.dtype).reshape(B, C, H * hd)
         else:  # dense
             v_new = _apply_leaf(layer["v_proj"], x, False
-                                ).reshape(1, C, KV, hd)
-            v_pool = _scatter_segment(pools["v"], pt_row, positions,
-                                      v_new[0])
+                                ).reshape(B, C, KV, hd)
+            v_pool = _scatter_segment(pools["v"], pt, positions, v_new)
             new_pools = {"k": k_pool, "v": v_pool}
             v = _flat_view(v_pool, pt)
             probs = probs_of(_flat_view(k_pool, pt))
             out = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(v.dtype), v,
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
-            out = out.astype(x.dtype).reshape(1, C, H * hd)
+            out = out.astype(x.dtype).reshape(B, C, H * hd)
 
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
     return _apply_leaf(layer[o_key], out, False), \
@@ -380,34 +395,37 @@ def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def paged_append(params, spec, ids, pools, page_table_row, pos0):
-    """Append a C-token segment of ONE sequence to its paged caches and
-    return (logits [C, vocab] for every segment position, new pools).
+def paged_append_batch(params, spec, ids, pools, page_table, pos0):
+    """Append C-token segments of B sequences to their paged caches in ONE
+    dispatch and return (logits [B, C, vocab], new pools).
 
-    The chunked-prefill building block: admission processes a prompt in
-    fixed-size segments, so serving compiles ONE append program instead of
-    one prefill per novel prompt length (each new shape costs a fresh
-    multi-minute XLA compile through the TPU tunnel)."""
-    C = ids.shape[1]
+    ids [B, C]; page_table [B, MP] (rows of padded/inactive requests all
+    zeros -> scratch); pos0 [B] per-row absolute start positions.
+
+    The chunked-prefill building block: admission processes every waiting
+    prompt's next segment together, so serving compiles ONE append program
+    (shapes fixed by (B, C, row width)) instead of one prefill per novel
+    prompt length — and decode chunks interleave between segment
+    dispatches instead of stalling behind whole prompts."""
     x = params["embed_tokens"][ids]
     if spec.embed_scale != 1.0:
         x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
     if params.get("project_in") is not None:
         x = _apply_leaf(params["project_in"], x)
     P = next(iter(pools[0].values())).shape[1]
-    T = page_table_row.shape[0] * P
+    T = page_table.shape[1] * P
+    C = ids.shape[1]
     if spec.pos_emb == "learned":
-        x = x + params["embed_positions"][pos0 + jnp.arange(C)
-                                          + spec.pos_offset][None]
+        positions = pos0[:, None] + jnp.arange(C)[None, :]
+        x = x + params["embed_positions"][positions + spec.pos_offset]
         cos_full = sin_full = jnp.zeros((T, spec.head_dim))
     else:
         cos_full, sin_full = rope_cos_sin(jnp.arange(T), spec.head_dim,
                                           spec.rope_theta)
-    pt = page_table_row[None, :]
     new_pools = []
     for i, layer in enumerate(params["layers"]):
         x, c = _decode_layer(spec, layer, x,
-                             {"pools": pools[i], "pt": pt},
+                             {"pools": pools[i], "pt": page_table},
                              pos0, cos_full, sin_full, i,
                              up=False, attend=_append_attend)
         new_pools.append(c["pools"])
@@ -415,7 +433,17 @@ def paged_append(params, spec, ids, pools, page_table_row, pos0):
         x = apply_norm(spec, params["final_norm"], x)
     if params.get("project_out") is not None:
         x = _apply_leaf(params["project_out"], x)
-    return apply_lm_head(params, spec, x)[0], new_pools
+    return apply_lm_head(params, spec, x), new_pools
+
+
+def paged_append(params, spec, ids, pools, page_table_row, pos0):
+    """Single-sequence wrapper over paged_append_batch: ids [1, C] +
+    page_table_row [MP] -> (logits [C, vocab], new pools)."""
+    logits, new_pools = paged_append_batch(
+        params, spec, jnp.asarray(ids), pools,
+        jnp.asarray(page_table_row, jnp.int32)[None, :],
+        jnp.asarray(pos0, jnp.int32)[None])
+    return logits[0], new_pools
 
 
 def prefill_chunked_into_pages(params, spec, ids, pools, page_table_row,

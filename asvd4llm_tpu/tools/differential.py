@@ -77,11 +77,13 @@ def load_reference(path: str = REFERENCE_PATH) -> SimpleNamespace:
         import binary_search as ref_search
         import evaluate_utils as ref_eval
         import modules.svd_linear as ref_svd
+        import quantization as ref_quant
         import sensitivity as ref_sens
     finally:
         sys.path.remove(path)
     _REF_MODULES = SimpleNamespace(calib=ref_calib, search=ref_search,
-                                   eval=ref_eval, svd=ref_svd, sens=ref_sens)
+                                   eval=ref_eval, svd=ref_svd, sens=ref_sens,
+                                   quant=ref_quant)
     return _REF_MODULES
 
 
@@ -233,7 +235,10 @@ def run_our_pipeline(torch_model, calib_batches, cfg) -> dict:
             {k: np.asarray(v) for k, v in stats.items()},
             "fisher": {} if fisher is None else
             {k: np.asarray(v) for k, v in fisher.items()},
-            "sensitivity": sens, "manifest": dict(manifest), "ppl": ppl}
+            "sensitivity": sens, "manifest": dict(manifest), "ppl": ppl,
+            # post-search state for downstream differentials (quantization);
+            # compare() ignores keys it doesn't know
+            "compressed": compressed, "spec": spec}
 
 
 def compare(ref: dict, ours: dict, *, stats_rtol=2e-3, ppl_rtol=1e-3,
@@ -294,40 +299,210 @@ def compare(ref: dict, ours: dict, *, stats_rtol=2e-3, ppl_rtol=1e-3,
     return problems
 
 
-def run_differential(cfg, workdir: str, *, family: str = "llama",
-                     hidden: int = 32, layers: int = 2, heads: int = 2,
-                     kv_heads: int = 2, vocab: int = 128,
-                     seqlen: int = 24, tie: bool = False) -> dict:
-    """Build a tiny random model, run both pipelines, compare. Returns
-    {"problems": [...], "ref": ..., "ours": ...}."""
+def build_tiny_torch_model(family: str, seed: int, *, hidden: int = 32,
+                           layers: int = 2, heads: int = 2, kv_heads: int = 2,
+                           vocab: int = 128, seqlen: int = 24,
+                           inter: int = 0, tie: bool = False):
+    """A tiny random HF model — the shared subject for every differential."""
     import torch
     import transformers
 
-    torch.manual_seed(cfg.seed)
+    torch.manual_seed(seed)
+    inter = inter or 2 * hidden
     if family == "llama":
         hf_cfg = transformers.LlamaConfig(
-            vocab_size=vocab, hidden_size=hidden, intermediate_size=2 * hidden,
+            vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
             num_hidden_layers=layers, num_attention_heads=heads,
             num_key_value_heads=kv_heads, max_position_embeddings=4 * seqlen,
             tie_word_embeddings=tie)
         model = transformers.LlamaForCausalLM(hf_cfg).eval()
     elif family == "opt":
         hf_cfg = transformers.OPTConfig(
-            vocab_size=vocab, hidden_size=hidden, ffn_dim=2 * hidden,
+            vocab_size=vocab, hidden_size=hidden, ffn_dim=inter,
             num_hidden_layers=layers, num_attention_heads=heads,
             max_position_embeddings=4 * seqlen, word_embed_proj_dim=hidden,
             tie_word_embeddings=tie)
         model = transformers.OPTForCausalLM(hf_cfg).eval()
     else:
         raise ValueError(family)
-    model = model.float()
+    return model.float()
 
+
+def run_differential(cfg, workdir: str, *, family: str = "llama",
+                     hidden: int = 32, layers: int = 2, heads: int = 2,
+                     kv_heads: int = 2, vocab: int = 128,
+                     seqlen: int = 24, inter: int = 0,
+                     tie: bool = False) -> dict:
+    """Build a tiny random model, run both pipelines, compare. Returns
+    {"problems": [...], "ref": ..., "ours": ...}."""
+    model = build_tiny_torch_model(family, cfg.seed, hidden=hidden,
+                                   layers=layers, heads=heads,
+                                   kv_heads=kv_heads, vocab=vocab,
+                                   seqlen=seqlen, inter=inter, tie=tie)
     batches = synthetic_calib_batches(cfg.n_calib_samples, seqlen, vocab,
                                       seed=cfg.seed)
     # ours first: the reference run mutates the torch model in place
     ours = run_our_pipeline(model, batches, cfg)
     ref = run_reference_pipeline(model, batches, cfg, workdir)
-    return {"problems": compare(ref, ours), "ref": ref, "ours": ours}
+    return {"problems": compare(ref, ours), "ref": ref, "ours": ours,
+            "model": model, "batches": batches}
+
+
+def _torch_layer_linears(model) -> dict:
+    """{our-style full name: torch nn.Linear} for every linear inside the
+    decoder layers (incl. SVDLinear's ALinear/BLinear children) — the set
+    rtn_quant_sequential quantizes (ref quantization.py:160-172)."""
+    import torch.nn as nn
+
+    dec = getattr(model.model, "decoder", None)
+    container = dec.layers if dec is not None else model.model.layers
+    prefix = "model.decoder.layers" if dec is not None else "model.layers"
+    out = {}
+    for i, layer in enumerate(container):
+        for name, mod in layer.named_modules():
+            if isinstance(mod, nn.Linear):
+                out[f"{prefix}.{i}.{name}"] = mod
+    return out
+
+
+def run_quant_differential(cfg, workdir: str, wbits: int, *,
+                           family: str = "llama", seqlen: int = 24) -> dict:
+    """Quantization-stage oracle: after a parity-checked compress run,
+    (a) the reference's Quantizer applied to OUR post-search factors must
+    reproduce our fake-quant bitwise-close (same fp32 input, same math:
+    ref quantization.py:17-21,52-133 vs ops/quant.py), and (b) the ref's
+    rtn_quant_sequential end state must match our quantize_model_weights
+    in final calib PPL. Returns {"problems": [...], ...}."""
+    import numpy as np
+    import torch
+
+    from asvd4llm_tpu.eval.ppl import evaluate_perplexity
+    from asvd4llm_tpu.models.registry import is_lowrank, iter_linears
+    from asvd4llm_tpu.ops.quant import rtn_quantize_weight
+    from asvd4llm_tpu.ops.quant_apply import quantize_model_weights
+
+    out = run_differential(cfg, workdir, family=family, seqlen=seqlen)
+    problems = list(out["problems"])
+    model, batches = out["model"], out["batches"]
+    compressed, spec = out["ours"]["compressed"], out["ours"]["spec"]
+    ref = load_reference()
+
+    # (a) unit parity on identical inputs: every decoder linear of OUR
+    # compressed model through the reference Quantizer
+    for name, leaf in iter_linears(compressed, spec):
+        mats = [("A", leaf["A"]), ("B", leaf["B"])] if is_lowrank(leaf) \
+            else [("w", leaf["w"])]
+        for part, w in mats:
+            w_np = np.asarray(w, dtype=np.float32)
+            q = ref.quant.Quantizer()
+            q.configure(wbits, perchannel=True, sym=False, mse=False)
+            t = torch.from_numpy(w_np.copy())
+            q.find_params(t, weight=True)
+            ref_q = q.quantize(t).numpy()
+            our_q = np.asarray(rtn_quantize_weight(w, wbits))
+            if not np.allclose(our_q, ref_q, rtol=1e-5, atol=1e-6):
+                err = float(np.max(np.abs(our_q - ref_q)))
+                problems.append(
+                    f"quant[{name}.{part}] int{wbits} mismatch "
+                    f"(max abs err {err:.3e})")
+
+    # (b) end-to-end: ref rtn_quant_sequential (keys its layer walk off
+    # config._name_or_path, ref quantization.py:160-163) vs ours
+    model.config._name_or_path = family
+    with torch.no_grad():
+        ref.quant.rtn_quant_sequential(model, wbits)
+    loader = [{k: torch.from_numpy(v.copy()) for k, v in b.items()}
+              for b in batches]
+    input_ids_t = torch.cat([b["input_ids"] for b in loader], 0)
+    ref_ppl_q = float(ref.eval.evaluate_perplexity(model, input_ids_t,
+                                                   cfg.n_calib_samples))
+    ours_q = quantize_model_weights(compressed, spec, f"rtn_int{wbits}")
+    input_ids = np.concatenate([np.asarray(b["input_ids"]) for b in batches],
+                               axis=0)
+    our_ppl_q = float(evaluate_perplexity(ours_q, spec, input_ids,
+                                          cfg.n_calib_samples))
+    if abs(our_ppl_q - ref_ppl_q) > 2e-3 * abs(ref_ppl_q):
+        problems.append(f"quantized ppl: ref {ref_ppl_q:.6f} vs ours "
+                        f"{our_ppl_q:.6f}")
+
+    # loose weight agreement (inputs differ at fp rounding level, so a
+    # tiny fraction of entries may flip one quant step)
+    ref_lin = _torch_layer_linears(model)
+    for name, leaf in iter_linears(ours_q, spec):
+        mats = [(f"{name}.ALinear", leaf.get("A")),
+                (f"{name}.BLinear", leaf.get("B"))] if is_lowrank(leaf) \
+            else [(name, leaf["w"])]
+        for rname, w in mats:
+            mod = ref_lin.get(rname)
+            if mod is None:
+                problems.append(f"ref missing quantized linear {rname}")
+                continue
+            r = mod.weight.detach().numpy()
+            o = np.asarray(w)
+            step = np.max(np.abs(r), axis=1, keepdims=True) / \
+                (2 ** wbits - 1) * 2 + 1e-8
+            flipped = np.abs(o - r) > 1.5 * step
+            if flipped.mean() > 0.01:
+                problems.append(
+                    f"quant[{rname}]: {flipped.mean():.1%} entries differ "
+                    f"by >1.5 quant steps")
+    return {"problems": problems, "ref_ppl_q": ref_ppl_q,
+            "our_ppl_q": our_ppl_q}
+
+
+def run_stable_rank_differential(cfg, workdir: str, *,
+                                 family: str = "llama",
+                                 seqlen: int = 24) -> dict:
+    """Stable-rank proxy oracle (ref sensitivity.py:64-110): both sides'
+    sensitivity dicts on the same tiny model."""
+    import numpy as np
+    import torch
+
+    import jax.numpy as jnp
+
+    from asvd4llm_tpu.calib.sensitivity import calib_sensitivity_stable_rank
+    from asvd4llm_tpu.models import params_from_torch_model
+
+    model = build_tiny_torch_model(family, cfg.seed, seqlen=seqlen)
+    batches = synthetic_calib_batches(cfg.n_calib_samples, seqlen, 128,
+                                      seed=cfg.seed)
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+    ours = calib_sensitivity_stable_rank(params, spec, batches, cfg)
+
+    ref = load_reference()
+    args = make_args_namespace(cfg)
+    loader = [{k: torch.from_numpy(v.copy()) for k, v in b.items()}
+              for b in batches]
+    model.config._name_or_path = f"tiny-{family}"
+    prev_cwd = os.getcwd()
+    os.makedirs(os.path.join(workdir, "cache"), exist_ok=True)
+    os.chdir(workdir)
+    try:
+        with torch.no_grad():
+            ref_dict = ref.sens.calib_sensitivity_stable_rank(
+                model, loader, args, use_cache=False)
+    finally:
+        os.chdir(prev_cwd)
+    # ratio keys come from different float expressions (ref's literal 0.3
+    # vs our 0.1*3) — compare on rounded keys
+    ref_dict = {k: {round(float(r), 6): float(v) for r, v in d.items()}
+                for k, d in ref_dict.items()}
+    ours_r = {k: {round(float(r), 6): float(v) for r, v in d.items()}
+              for k, d in ours.items()}
+
+    problems = []
+    if set(ref_dict) != set(ours_r):
+        problems.append(f"stable-rank keys differ: only-ref="
+                        f"{sorted(set(ref_dict) - set(ours_r))} only-ours="
+                        f"{sorted(set(ours_r) - set(ref_dict))}")
+    else:
+        for k, d in ref_dict.items():
+            for r, v in d.items():
+                ov = ours_r[k].get(r)
+                if ov is None or abs(ov - v) > 1e-4 * abs(v) + 1e-6:
+                    problems.append(f"stable_rank[{k}][{r}]: ref {v} "
+                                    f"vs ours {ov}")
+    return {"problems": problems, "ref": ref_dict, "ours": ours}
 
 
 def main(argv=None):
@@ -353,7 +528,30 @@ def main(argv=None):
     p.add_argument("--rank_align", type=int, default=1)
     p.add_argument("--n_calib_samples", type=int, default=4)
     p.add_argument("--seed", type=int, default=233)
+    # model geometry (--preset production = the VERDICT r2 #3 point:
+    # production shape + the quantize.sh rank_align=128 setting)
+    p.add_argument("--preset", choices=["toy", "production"], default="toy")
+    p.add_argument("--hidden", type=int, default=0)
+    p.add_argument("--layers", type=int, default=0)
+    p.add_argument("--heads", type=int, default=0)
+    p.add_argument("--kv_heads", type=int, default=0)
+    p.add_argument("--vocab", type=int, default=0)
+    p.add_argument("--seqlen", type=int, default=0)
+    p.add_argument("--inter", type=int, default=0)
+    p.add_argument("--out", default="")
     ns = p.parse_args(argv)
+
+    shapes = dict(hidden=32, layers=2, heads=2, kv_heads=2, vocab=128,
+                  seqlen=24, inter=0)
+    if ns.preset == "production":
+        shapes = dict(hidden=768, layers=12, heads=12, kv_heads=12,
+                      vocab=4096, seqlen=256, inter=3072)
+        if ns.rank_align == 1:
+            ns.rank_align = 128
+    for k in shapes:
+        v = getattr(ns, k)
+        if v:
+            shapes[k] = v
 
     from asvd4llm_tpu.config import ASVDConfig
     cfg = ASVDConfig(
@@ -367,13 +565,21 @@ def main(argv=None):
         svd_backend="exact", sensitivity_batch_ratios=True,
         fisher_double_shift=True, use_cache=False, eval_dtype="float32")
 
+    import time
+    t0 = time.time()
     with tempfile.TemporaryDirectory() as td:
-        out = run_differential(cfg, td, family=ns.family)
-    report = {"family": ns.family, "parity": not out["problems"],
-              "problems": out["problems"],
+        out = run_differential(cfg, td, family=ns.family, **shapes)
+    report = {"family": ns.family, "preset": ns.preset, "shapes": shapes,
+              "rank_align": ns.rank_align,
+              "parity": not out["problems"], "problems": out["problems"],
               "ref_ppl": out["ref"]["ppl"], "our_ppl": out["ours"]["ppl"],
-              "n_compressed": len(out["ref"]["manifest"])}
+              "manifest_ranks": sorted(set(out["ref"]["manifest"].values())),
+              "n_compressed": len(out["ref"]["manifest"]),
+              "wall_s": round(time.time() - t0, 1)}
     print(json.dumps(report, indent=2))
+    if ns.out:
+        with open(ns.out, "w") as f:
+            json.dump(report, f, indent=2)
     return 0 if report["parity"] else 1
 
 

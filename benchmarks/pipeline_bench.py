@@ -42,10 +42,37 @@ SEQLEN = 512
 REF_CALIB, REF_SEQLEN = 32, 2048
 
 
+def project_scan(timings, layers_measured: int, layers_full: int) -> dict:
+    """Suffix-evaluator scan cost is c0 + c1*(L - l) per decoder name
+    (prefix-cached: only the suffix runs) — NOT linear in depth. Fit
+    (c0, c1) by least squares over the measured per-name times, then sum
+    the model over the full-depth name grid. Extras (lm_head) carry over
+    unchanged (final-hidden head grid is depth-independent)."""
+    dec = [(layers_measured - li, dt) for _, li, dt in timings if li >= 0]
+    extras = sum(dt for _, li, dt in timings if li < 0)
+    if not dec:
+        return {"projected_scan_s": extras}
+    import numpy as _np
+
+    suffix = _np.array([s for s, _ in dec], dtype=_np.float64)
+    dts = _np.array([d for _, d in dec], dtype=_np.float64)
+    A = _np.stack([_np.ones_like(suffix), suffix], axis=1)
+    (c0, c1), *_ = _np.linalg.lstsq(A, dts, rcond=None)
+    names_per_layer = len(dec) // layers_measured
+    full = sum(names_per_layer * (c0 + c1 * (layers_full - li))
+               for li in range(layers_full))
+    return {"fit_c0_s": round(float(c0), 3), "fit_c1_s": round(float(c1), 3),
+            "names_per_layer": names_per_layer,
+            "extras_s": round(extras, 1),
+            "projected_scan_s": round(float(full) + extras, 1)}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--layers", type=int, default=LAYERS)
+    ap.add_argument("--n_calib", type=int, default=N_CALIB)
+    ap.add_argument("--seqlen", type=int, default=SEQLEN)
     ns = ap.parse_args(argv)
     import os
     try:
@@ -57,18 +84,18 @@ def main(argv=None):
     except Exception:
         pass
 
-    layers = ns.layers
+    layers, n_calib, seqlen = ns.layers, ns.n_calib, ns.seqlen
     spec = llama_spec(vocab_size=VOCAB, hidden_size=H, intermediate_size=I,
                       num_layers=layers, num_heads=32, num_kv_heads=32,
-                      head_dim=128, max_position_embeddings=SEQLEN + 64)
+                      head_dim=128, max_position_embeddings=seqlen + 64)
     params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
-    loader = [{"input_ids": rng.randint(0, VOCAB, size=(1, SEQLEN))}
-              for _ in range(N_CALIB)]
+    loader = [{"input_ids": rng.randint(0, VOCAB, size=(1, seqlen))}
+              for _ in range(n_calib)]
     cfg = ASVDConfig(model_id="pipeline-bench", calib_dataset="synthetic",
                      param_ratio_target=0.85, act_aware=True, alpha=0.5,
-                     scaling_method="abs_mean", n_calib_samples=N_CALIB,
-                     seqlen=SEQLEN, svd_backend="auto",
+                     scaling_method="abs_mean", n_calib_samples=n_calib,
+                     seqlen=seqlen, svd_backend="auto",
                      eval_dtype="bfloat16", use_cache=False)
 
     t0 = time.time()
@@ -77,8 +104,10 @@ def main(argv=None):
     jax.block_until_ready(list(stats.values()))
     t_stats = time.time() - t0
 
+    timings = []
     t0 = time.time()
-    sens = calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats)
+    sens = calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats,
+                                 timings=timings)
     t_scan = time.time() - t0
     n_points = sum(len(v) for v in sens.values())
 
@@ -88,10 +117,11 @@ def main(argv=None):
     t_search = time.time() - t0
 
     scale_depth = FULL / layers
+    scan_fit = project_scan(timings, layers, FULL)
     out = {
         "geometry": {"hidden": H, "inter": I, "vocab": VOCAB,
-                     "layers": layers, "n_calib": N_CALIB,
-                     "seqlen": SEQLEN},
+                     "layers": layers, "n_calib": n_calib,
+                     "seqlen": seqlen},
         "backend": jax.default_backend(),
         "measured_s": {"calib_stats": round(t_stats, 1),
                        "sensitivity_scan": round(t_scan, 1),
@@ -99,18 +129,25 @@ def main(argv=None):
                        "total": round(t_stats + t_scan + t_search, 1)},
         "scan_points": n_points,
         "manifest_layers": len(manifest),
+        "per_name_scan_s": [(n, li, round(dt, 2)) for n, li, dt in timings],
+        "scan_projection_fit": scan_fit,
         "projected_full_7b_s": {
             "calib_stats": round(t_stats * scale_depth, 1),
-            "sensitivity_scan": round(t_scan * scale_depth, 1),
+            # per-name cost is c0 + c1*suffix (prefix-cached suffix
+            # evaluator) — use the component fit, not a linear depth scale
+            "sensitivity_scan": scan_fit.get("projected_scan_s"),
             "binary_search": round(t_search * scale_depth, 1),
-            "total": round((t_stats + t_scan + t_search) * scale_depth, 1),
+            "total": round(t_stats * scale_depth
+                           + scan_fit.get("projected_scan_s", 0.0)
+                           + t_search * scale_depth, 1),
         },
-        "note": (f"PPL-eval budget scales with n_calib*seqlen; the "
-                 f"reference's canonical setting ({REF_CALIB}x{REF_SEQLEN}) "
-                 f"is {REF_CALIB * REF_SEQLEN / (N_CALIB * SEQLEN):.0f}x "
-                 f"this run's eval tokens. Reference wall time for the "
-                 f"scan: 'several hours' on one CUDA GPU "
-                 f"(ref README.md:59-60)."),
+        "eval_budget_vs_canonical": round(
+            n_calib * seqlen / (REF_CALIB * REF_SEQLEN), 3),
+        "note": (f"PPL-eval budget is n_calib*seqlen; the reference's "
+                 f"canonical calib setting is {REF_CALIB}x{REF_SEQLEN} "
+                 f"(ref README.md:91-105, asvd.py:106-116). Reference wall "
+                 f"time for the scan at that setting: 'several hours' on "
+                 f"one CUDA GPU (ref README.md:59-60)."),
     }
     print(json.dumps(out, indent=1))
     if ns.json:

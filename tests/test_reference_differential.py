@@ -102,3 +102,73 @@ def test_llama_tied_head_parity(tmp_path):
     out = diff.run_differential(_cfg(param_ratio_target=0.8, seed=7),
                                 str(tmp_path), family="llama", tie=True)
     _assert_parity(out)
+
+
+def test_llama_sigma_fuse_u_parity(tmp_path):
+    """sigma_fuse='U' (A=U·S, B=Vh; ref modules/svd_linear.py:19-21):
+    same recomposed weight, different factor split — manifest and PPL must
+    still match the oracle."""
+    out = diff.run_differential(_cfg(param_ratio_target=0.85,
+                                     sigma_fuse="U"),
+                                str(tmp_path), family="llama")
+    _assert_parity(out)
+
+
+def test_llama_no_act_aware_parity(tmp_path):
+    """act_aware=False: the scan STAYS act-aware (the reference's quirk,
+    ref sensitivity.py:50) but the search's trial/final SVDs drop the
+    scaling (ref binary_search.py from_linear(act_aware=args.act_aware))."""
+    out = diff.run_differential(_cfg(param_ratio_target=0.85,
+                                     act_aware=False),
+                                str(tmp_path), family="llama")
+    _assert_parity(out)
+
+
+def test_llama_rtn_int8_quant_parity(tmp_path):
+    """Quantization-stage oracle (VERDICT r2 #2): ref Quantizer /
+    rtn_quant_sequential (ref quantization.py:17-175) vs ops/quant.py on
+    the post-search model — unit-exact on identical inputs, end-to-end
+    PPL match."""
+    out = diff.run_quant_differential(_cfg(param_ratio_target=0.85),
+                                      str(tmp_path), 8, family="llama")
+    assert not out["problems"], "\n".join(out["problems"])
+
+
+def test_llama_rtn_int6_quant_parity(tmp_path):
+    out = diff.run_quant_differential(_cfg(param_ratio_target=0.8, seed=11),
+                                      str(tmp_path), 6, family="llama")
+    assert not out["problems"], "\n".join(out["problems"])
+
+
+def test_mse_grid_quantizer_parity():
+    """The MSE shrink-grid search path (ref quantization.py:94-111) has no
+    caller in rtn_quant_sequential but is part of the Quantizer surface —
+    pin it against the oracle on random matrices, int8 and int4."""
+    import numpy as np
+
+    from asvd4llm_tpu.ops.quant import _fake_quant, find_quant_params
+
+    ref = diff.load_reference()
+    rng = np.random.RandomState(3)
+    for bits in (8, 4):
+        w = rng.randn(16, 24).astype(np.float32) * \
+            rng.gamma(1.0, 1.0, size=(16, 1)).astype(np.float32)
+        q = ref.quant.Quantizer()
+        q.configure(bits, perchannel=True, sym=False, mse=True)
+        t = torch.from_numpy(w.copy())
+        q.find_params(t, weight=True)
+        ref_q = q.quantize(t).numpy()
+
+        qp = find_quant_params(w, bits, mse=True)
+        our_q = np.asarray(_fake_quant(w, qp.scale, qp.zero, qp.maxq))
+        np.testing.assert_allclose(our_q, ref_q, rtol=1e-5, atol=1e-6)
+
+
+def test_stable_rank_parity(tmp_path):
+    """Stable-rank sensitivity proxy vs the oracle
+    (ref sensitivity.py:64-110), llama and OPT."""
+    for family in ("llama", "opt"):
+        out = diff.run_stable_rank_differential(_cfg(), str(tmp_path),
+                                                family=family)
+        assert not out["problems"], "\n".join(out["problems"])
+        assert "lm_head" in out["ref"]
