@@ -164,8 +164,47 @@ class MCTask:
 
 
 @dataclass
+class PartialMCDoc:
+    """Partial-evaluation item (lm-eval 0.3.0 winogrande): per-choice
+    CONTEXTS (the blank filled with each option) share one continuation
+    (the text after the blank) — only the continuation is scored."""
+    contexts: list[str]
+    continuation: str
+    gold: int
+
+
+@dataclass
+class PartialMCTask:
+    name: str
+    docs: list[PartialMCDoc]
+
+    def evaluate(self, engine: LoglikelihoodEngine, tokenizer,
+                 limit: int = -1) -> dict:
+        docs = self.docs if limit in (-1, None) else self.docs[:limit]
+        pairs, spans = [], []
+        for d in docs:
+            start = len(pairs)
+            for ctx in d.contexts:
+                ctx_ids = tokenizer.encode(ctx)
+                whole = tokenizer.encode(ctx + d.continuation)
+                cont = whole[len(ctx_ids):] or \
+                    tokenizer.encode(d.continuation)
+                pairs.append((ctx_ids, cont))
+            spans.append((start, len(pairs), d))
+        scored = engine.score(pairs)
+        correct = 0
+        for start, end, d in spans:
+            lls = [scored[k][0] for k in range(start, end)]
+            if int(np.argmax(lls)) == d.gold:
+                correct += 1
+        return {"acc": correct / max(len(docs), 1)}
+
+
+@dataclass
 class GreedyCompletionTask:
-    """lambada-style: predict the final word greedily; acc = exact match."""
+    """lambada-style: predict the final word greedily; acc = exact match;
+    ppl = exp(-mean continuation ll) — NOT length-normalized, matching
+    lm-eval 0.3.0's perplexity aggregation for lambada."""
     name: str
     docs: list[tuple[str, str]]  # (context, target continuation)
 
@@ -181,8 +220,7 @@ class GreedyCompletionTask:
         scored = engine.score(pairs)
         n = max(len(docs), 1)
         acc = sum(1 for _, greedy in scored if greedy) / n
-        ppl = float(np.exp(-np.mean([ll / max(len(p[1]), 1)
-                                     for (ll, _), p in zip(scored, pairs)])))
+        ppl = float(np.exp(-np.mean([ll for ll, _ in scored])))
         return {"acc": acc, "ppl": ppl}
 
 
@@ -216,91 +254,159 @@ def load_mmlu_task(subject: str, num_fewshot: int = 0) -> MCTask:
     return MCTask(name=f"hendrycksTest-{subject}", docs=docs)
 
 
+# Per-task doc builders: pure row->doc functions (testable offline with
+# fixture rows) pinned to lm-eval 0.3.0's doc_to_text / choice / gold
+# semantics — golden-example tests in tests/test_harness.py assert the
+# exact strings.
+
+def build_lambada_docs(rows) -> list[tuple[str, str]]:
+    """lm-eval 0.3.0 lambada: ctx = text minus last word, target =
+    ' ' + last word (rsplit on the final space)."""
+    docs = []
+    for ex in rows:
+        ctx, last = ex["text"].rsplit(" ", 1)
+        docs.append((ctx, " " + last))
+    return docs
+
+
+def build_openbookqa_docs(rows) -> list[MCDoc]:
+    return [MCDoc(query=ex["question_stem"],
+                  choices=[" " + t for t in ex["choices"]["text"]],
+                  gold=ex["choices"]["label"].index(ex["answerKey"]))
+            for ex in rows]
+
+
+def build_piqa_docs(rows) -> list[MCDoc]:
+    return [MCDoc(query=f"Question: {ex['goal']}\nAnswer:",
+                  choices=[" " + ex["sol1"], " " + ex["sol2"]],
+                  gold=int(ex["label"])) for ex in rows]
+
+
+def build_boolq_docs(rows) -> list[MCDoc]:
+    return [MCDoc(query=f"{ex['passage']}\nQuestion: {ex['question']}?\nAnswer:",
+                  choices=[" no", " yes"], gold=int(ex["answer"]))
+            for ex in rows]
+
+
+def build_arc_docs(rows) -> list[MCDoc]:
+    # lm-eval 0.3.0 maps numeric answerKeys to letters; indexing the raw
+    # label list is equivalent (labels carry the same symbols as the key)
+    return [MCDoc(query=f"Question: {ex['question']}\nAnswer:",
+                  choices=[" " + t for t in ex["choices"]["text"]],
+                  gold=ex["choices"]["label"].index(ex["answerKey"]))
+            for ex in rows]
+
+
+def build_winogrande_docs(rows) -> list[PartialMCDoc]:
+    """lm-eval 0.3.0 winogrande PARTIAL EVALUATION: per option, context =
+    sentence up to the blank with the option substituted; the SHARED
+    continuation ' ' + text-after-blank (stripped) is what gets scored."""
+    docs = []
+    for ex in rows:
+        loc = ex["sentence"].index("_")
+        prefix = ex["sentence"][:loc]
+        continuation = " " + ex["sentence"][loc + 1:].strip()
+        docs.append(PartialMCDoc(
+            contexts=[prefix + ex["option1"], prefix + ex["option2"]],
+            continuation=continuation,
+            gold=int(ex["answer"]) - 1))
+    return docs
+
+
+def _hellaswag_preprocess(text: str) -> str:
+    """lm-eval 0.3.0 hellaswag text cleanup."""
+    import re
+
+    text = text.strip()
+    text = text.replace(" [title]", ". ")
+    text = re.sub(r"\[.*?\]", "", text)
+    text = text.replace("  ", " ")
+    return text
+
+
+def build_hellaswag_docs(rows) -> list[MCDoc]:
+    """lm-eval 0.3.0: query = preprocess(activity_label + ': ' + ctx_a +
+    ' ' + ctx_b.capitalize()); choices preprocessed too."""
+    docs = []
+    for ex in rows:
+        ctx = ex["ctx_a"] + " " + ex["ctx_b"].capitalize() \
+            if "ctx_a" in ex else ex["ctx"]
+        query = _hellaswag_preprocess(ex.get("activity_label", "") + ": "
+                                      + ctx)
+        docs.append(MCDoc(
+            query=query,
+            choices=[" " + _hellaswag_preprocess(e) for e in ex["endings"]],
+            gold=int(ex["label"])))
+    return docs
+
+
+def build_sciq_docs(rows) -> list[MCDoc]:
+    return [MCDoc(
+        query="{}\nQuestion: {}\nAnswer:".format(
+            ex.get("support", ""), ex["question"]).strip(),
+        choices=[" " + c for c in (ex["distractor1"], ex["distractor2"],
+                                   ex["distractor3"],
+                                   ex["correct_answer"])],
+        gold=3) for ex in rows]
+
+
+def build_copa_docs(rows) -> list[MCDoc]:
+    docs = []
+    for ex in rows:
+        conn = "because" if ex["question"] == "cause" else "therefore"
+        # lm-eval 0.3.0 drops the final character unconditionally
+        ctx = ex["premise"].strip()[:-1] + f" {conn}"
+        docs.append(MCDoc(
+            query=ctx,
+            choices=[" " + ex["choice1"][0].lower() + ex["choice1"][1:],
+                     " " + ex["choice2"][0].lower() + ex["choice2"][1:]],
+            gold=int(ex["label"])))
+    return docs
+
+
+def build_rte_docs(rows) -> list[MCDoc]:
+    return [MCDoc(
+        query=f"{ex['premise']}\nQuestion: {ex['hypothesis']} True or False?\nAnswer:",
+        choices=[" True", " False"], gold=int(ex["label"]))
+        for ex in rows]
+
+
 def load_task(name: str, num_fewshot: int = 0):
     if name.startswith("hendrycksTest-"):
         return load_mmlu_task(name.split("-", 1)[1], num_fewshot)
     from datasets import load_dataset
     if name == "lambada_openai":
-        ds = load_dataset("EleutherAI/lambada_openai", "en")["test"]
-        docs = []
-        for ex in ds:
-            text = ex["text"]
-            ctx, _, last = text.rpartition(" ")
-            docs.append((ctx, " " + last))
-        return GreedyCompletionTask(name=name, docs=docs)
+        rows = load_dataset("EleutherAI/lambada_openai", "en")["test"]
+        return GreedyCompletionTask(name=name, docs=build_lambada_docs(rows))
     if name == "openbookqa":
-        ds = load_dataset("allenai/openbookqa", "main")["test"]
-        docs = [MCDoc(query=ex["question_stem"],
-                      choices=[" " + t for t in ex["choices"]["text"]],
-                      gold=ex["choices"]["label"].index(ex["answerKey"]))
-                for ex in ds]
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("allenai/openbookqa", "main")["test"]
+        return MCTask(name=name, docs=build_openbookqa_docs(rows))
     if name == "piqa":
-        ds = load_dataset("piqa")["validation"]
-        docs = [MCDoc(query=f"Question: {ex['goal']}\nAnswer:",
-                      choices=[" " + ex["sol1"], " " + ex["sol2"]],
-                      gold=int(ex["label"])) for ex in ds]
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("piqa")["validation"]
+        return MCTask(name=name, docs=build_piqa_docs(rows))
     if name == "boolq":
-        ds = load_dataset("google/boolq")["validation"]
-        docs = [MCDoc(query=f"{ex['passage']}\nQuestion: {ex['question']}?\nAnswer:",
-                      choices=[" no", " yes"], gold=int(ex["answer"]))
-                for ex in ds]
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("google/boolq")["validation"]
+        return MCTask(name=name, docs=build_boolq_docs(rows))
     if name in ("arc_easy", "arc_challenge"):
         sub = "ARC-Easy" if name == "arc_easy" else "ARC-Challenge"
-        ds = load_dataset("allenai/ai2_arc", sub)["test"]
-        docs = [MCDoc(query=f"Question: {ex['question']}\nAnswer:",
-                      choices=[" " + t for t in ex["choices"]["text"]],
-                      gold=ex["choices"]["label"].index(ex["answerKey"]))
-                for ex in ds]
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("allenai/ai2_arc", sub)["test"]
+        return MCTask(name=name, docs=build_arc_docs(rows))
     if name == "winogrande":
-        ds = load_dataset("allenai/winogrande", "winogrande_xl")["validation"]
-        docs = []
-        for ex in ds:
-            # partial-evaluation form: context up to the blank per option
-            ctx, _, cont = ex["sentence"].partition("_")
-            docs.append(MCDoc(
-                query="", choices=[ctx + ex["option1"] + cont,
-                                   ctx + ex["option2"] + cont],
-                gold=int(ex["answer"]) - 1))
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("allenai/winogrande",
+                            "winogrande_xl")["validation"]
+        return PartialMCTask(name=name, docs=build_winogrande_docs(rows))
     if name == "hellaswag":
-        ds = load_dataset("Rowan/hellaswag")["validation"]
-        docs = [MCDoc(query=ex["ctx"],
-                      choices=[" " + e for e in ex["endings"]],
-                      gold=int(ex["label"])) for ex in ds]
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("Rowan/hellaswag")["validation"]
+        return MCTask(name=name, docs=build_hellaswag_docs(rows))
     if name == "sciq":
-        ds = load_dataset("allenai/sciq")["test"]
-        docs = []
-        for ex in ds:
-            choices = [ex["distractor1"], ex["distractor2"],
-                       ex["distractor3"], ex["correct_answer"]]
-            docs.append(MCDoc(
-                query=f"{ex.get('support', '')}\nQuestion: {ex['question']}\nAnswer:",
-                choices=[" " + c for c in choices], gold=3))
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("allenai/sciq")["test"]
+        return MCTask(name=name, docs=build_sciq_docs(rows))
     if name == "copa":
-        ds = load_dataset("super_glue", "copa")["validation"]
-        docs = []
-        for ex in ds:
-            conn = " because" if ex["question"] == "cause" else " therefore"
-            ctx = ex["premise"].rstrip(".") + conn
-            docs.append(MCDoc(
-                query=ctx,
-                choices=[" " + ex["choice1"][0].lower() + ex["choice1"][1:],
-                         " " + ex["choice2"][0].lower() + ex["choice2"][1:]],
-                gold=int(ex["label"])))
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("super_glue", "copa")["validation"]
+        return MCTask(name=name, docs=build_copa_docs(rows))
     if name == "rte":
-        ds = load_dataset("super_glue", "rte")["validation"]
-        docs = [MCDoc(
-            query=f"{ex['premise']}\nQuestion: {ex['hypothesis']} True or False?\nAnswer:",
-            choices=[" True", " False"], gold=int(ex["label"]))
-            for ex in ds]
-        return MCTask(name=name, docs=docs)
+        rows = load_dataset("super_glue", "rte")["validation"]
+        return MCTask(name=name, docs=build_rte_docs(rows))
     raise NotImplementedError(f"task {name!r}")
 
 

@@ -39,19 +39,39 @@ def make_mesh(shape=(1, 1), devices=None, axis_names=("dp", "tp")) -> Mesh:
 
 
 def _leaf_spec(key: str, leaf: dict, tp_size: int) -> dict:
-    """PartitionSpecs for one linear leaf dict."""
+    """PartitionSpecs for one linear leaf dict (dense, low-rank, q8, q4).
+
+    Quantized leaves shard like their float low-rank counterparts: the
+    A-side codes AND their per-row scale/zero vectors ride the out dim
+    (column-parallel) while B replicates, and vice versa for row-parallel
+    — dequantization is per-row, so scales shard with their rows."""
     if tp_size <= 1:
         return {k: P() for k in leaf if leaf[k] is not None} | \
                {k: None for k in leaf if leaf[k] is None}
     is_lr = "A" in leaf
+    is_q = "A8" in leaf or "A4" in leaf
+    a_key = "A8" if "A8" in leaf else "A4"
     if key in _COLUMN_KEYS:
         if is_lr:
             specs = {"A": P("tp", None), "B": P(), "b": P("tp")}
+        elif is_q:
+            specs = {a_key: P("tp", None), "Asc": P("tp", None),
+                     "Azp": P("tp", None), "Azs": P("tp", None),
+                     "b": P("tp")}
         else:
             specs = {"w": P("tp", None), "b": P("tp")}
     elif key in _ROW_KEYS:
         if is_lr:
             specs = {"A": P(), "B": P(None, "tp"), "b": P()}
+        elif "B8" in leaf:
+            # q8 row-parallel: unpacked int8 codes shard their input dim;
+            # per-row scales ride the (replicated) rank dim
+            specs = {"B8": P(None, "tp"), "b": P()}
+        elif is_q:
+            # q4 packed codes interleave nibble-halves per column tile —
+            # slicing the packed axis would break group/scale alignment;
+            # replicate row-parallel q4 leaves
+            specs = {}
         else:
             specs = {"w": P(None, "tp"), "b": P()}
     else:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from asvd4llm_tpu.serving.paged import (
     init_paged_pools, paged_append_batch, paged_decode_scan,
     paged_decode_step, pages_needed, prefill_into_pages,
+    sample_rows_keyed_jit,
 )
 
 log = logging.getLogger(__name__)
@@ -72,7 +73,7 @@ class PagedEngine:
         self.prefill_chunk = int(prefill_chunk)
         self.temperature = float(temperature)
         self.top_p = float(top_p)
-        self._rng = np.random.default_rng(seed)
+        self.seed = int(seed)
         self.pools = init_paged_pools(params, spec, num_pages, page_size,
                                       dtype, latent=latent)
         self.page_table = np.zeros((max_batch, max_pages_per_seq), np.int32)
@@ -100,22 +101,19 @@ class PagedEngine:
     def result(self, rid: int) -> np.ndarray:
         return np.asarray(self.requests[rid].tokens, np.int32)
 
-    def _pick(self, logits_row: np.ndarray) -> int:
-        """Greedy (temperature 0) or temperature/top-p sampling."""
+    def _pick(self, logits_row: np.ndarray, rid: int, q: int) -> int:
+        """Greedy (temperature 0) or temperature/top-p sampling of the
+        token at sequence index q of request rid. Sampling runs the SAME
+        jitted position-keyed sampler the multi-step decode scan uses
+        (serving/paged.py::sample_rows_keyed), so stepwise and fused
+        scheduling emit identical tokens for identical seeds."""
         if self.temperature <= 0:
             return int(logits_row.argmax())
-        z = logits_row.astype(np.float64) / self.temperature
-        z -= z.max()
-        p = np.exp(z)
-        p /= p.sum()
-        if self.top_p < 1.0:
-            order = np.argsort(p)[::-1]
-            cut = int(np.searchsorted(np.cumsum(p[order]), self.top_p)) + 1
-            keep = order[:cut]
-            masked = np.zeros_like(p)
-            masked[keep] = p[keep]
-            p = masked / masked.sum()
-        return int(self._rng.choice(len(p), p=p))
+        tok = sample_rows_keyed_jit(
+            jnp.asarray(logits_row)[None, :], jnp.asarray([rid], jnp.int32),
+            jnp.asarray([q], jnp.int32), self.seed, self.temperature,
+            self.top_p)
+        return int(np.asarray(tok)[0])
 
     def all_done(self) -> bool:
         return not self.waiting and all(s is None for s in self.slots)
@@ -154,7 +152,8 @@ class PagedEngine:
                 self.params, self.spec,
                 jnp.asarray(req.prompt[None, :]), self.pools, req.pages)
             req.filled = S
-            self._start_decode(req, self._pick(np.asarray(logits)[0]))
+            self._start_decode(req, self._pick(np.asarray(logits)[0],
+                                               req.rid, len(req.prompt)))
 
     def _start_decode(self, req: _Request, first: int):
         """Prompt fully cached: emit the first token and expose real
@@ -200,8 +199,9 @@ class PagedEngine:
                 if logits_np is None:
                     logits_np = np.asarray(logits)
                 last = len(req.prompt) - 1 - c0   # index inside this chunk
-                self._start_decode(req,
-                                   self._pick(logits_np[req.slot, last]))
+                self._start_decode(
+                    req, self._pick(logits_np[req.slot, last], req.rid,
+                                    len(req.prompt)))
 
     def _finished(self, req: _Request) -> bool:
         if len(req.tokens) >= req.max_new_tokens:
@@ -250,7 +250,8 @@ class PagedEngine:
         logits_np = np.asarray(logits)
 
         for req in list(active):
-            tok = self._pick(logits_np[req.slot])
+            tok = self._pick(logits_np[req.slot], req.rid,
+                             int(self.positions[req.slot]) + 1)
             req.tokens.append(tok)
             self.positions[req.slot] += 1
             self.cur_token[req.slot, 0] = tok
@@ -281,11 +282,15 @@ class PagedEngine:
                     req.pages.append(new_page)
                     self.page_table[req.slot, page_idx] = new_page
 
+        rids = np.zeros((len(self.slots),), np.int32)
+        for req in active:
+            rids[req.slot] = req.rid
         toks, self.pools = paged_decode_scan(
             self.params, self.spec, jnp.asarray(self.cur_token),
             self.pools, jnp.asarray(self.page_table),
             jnp.asarray(self.positions), n_steps,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, temperature=self.temperature,
+            top_p=self.top_p, seed=self.seed, rids=jnp.asarray(rids))
         toks = np.asarray(toks)                       # [B, n_steps]
 
         for req in list(active):
@@ -301,10 +306,9 @@ class PagedEngine:
                 self._retire(req)
 
     def run(self, max_steps: int = 10_000, chunk: int = 1):
-        if chunk > 1 and self.temperature > 0:
-            log.info("sampling decodes stepwise (multi-step scheduling is "
-                     "greedy-only); chunk=%d ignored", chunk)
-            chunk = 1
+        """Multi-step scheduling works for BOTH greedy and sampled decode:
+        the scan samples on device with position-keyed PRNG, emitting the
+        same tokens the stepwise host path would."""
         steps = 0
         while not self.all_done():
             if chunk > 1:

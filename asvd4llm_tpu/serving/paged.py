@@ -242,22 +242,79 @@ def paged_decode_step(params, spec, token, pools, page_table, positions,
     return logits, new_pools
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "n_steps", "use_pallas"))
+def _sample_rows(logits, keys, temperature: float, top_p: float):
+    """Temperature/top-p sampling of one token per row, on device.
+
+    logits [B, V] f32; keys [B] PRNG keys. Top-p keeps the smallest
+    prefix of descending-probability tokens whose exclusive cumulative
+    mass is < top_p (identical to numpy's searchsorted-cut semantics the
+    host sampler used), then samples via the Gumbel-argmax trick — no
+    renormalization needed. Shared by the engine's host path and the
+    multi-step decode scan, so both produce IDENTICAL tokens for the same
+    (seed, rid, position)."""
+    z = logits.astype(jnp.float32) / temperature
+    p = jax.nn.softmax(z, axis=-1)
+    order = jnp.argsort(-p, axis=-1)
+    ps = jnp.take_along_axis(p, order, axis=-1)
+    cexcl = jnp.cumsum(ps, axis=-1) - ps
+    keep_sorted = cexcl < top_p
+    keep = jnp.zeros_like(keep_sorted)
+    keep = jnp.put_along_axis(keep, order, keep_sorted, axis=-1,
+                              inplace=False)
+    z_masked = jnp.where(keep, z, -jnp.inf)
+    g = jax.vmap(lambda k, shape=z.shape[-1:]:
+                 jax.random.gumbel(k, shape))(keys)
+    return jnp.argmax(z_masked + g, axis=-1).astype(jnp.int32)
+
+
+def sample_rows_keyed(logits, rids, positions, seed: int,
+                      temperature: float, top_p: float):
+    """Stateless per-(request, position) sampling keys: the token emitted
+    at sequence index q of request rid draws from
+    fold_in(fold_in(PRNGKey(seed), rid), q) — both the host stepwise path
+    and the fused decode scan derive the same keys, so scheduling choices
+    (chunk size, admission order) never change sampled outputs."""
+    key0 = jax.random.PRNGKey(seed)
+    keys = jax.vmap(lambda r, q: jax.random.fold_in(
+        jax.random.fold_in(key0, r), q))(rids.astype(jnp.uint32),
+                                         positions.astype(jnp.uint32))
+    return _sample_rows(logits, keys, temperature, top_p)
+
+
+sample_rows_keyed_jit = jax.jit(
+    sample_rows_keyed, static_argnames=("seed", "temperature", "top_p"))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_steps", "use_pallas",
+                                             "temperature", "top_p", "seed"))
 def paged_decode_scan(params, spec, token, pools, page_table, positions,
-                      n_steps, use_pallas=False):
+                      n_steps, use_pallas=False, temperature=0.0,
+                      top_p=1.0, seed=0, rids=None):
     """n_steps ragged decode steps in ONE dispatch (lax.scan over
     paged_decode_step). Host round-trips cost ~28 ms each through the TPU
     tunnel; the engine's multi-step scheduling runs admission/retirement
     every n_steps tokens instead of every token. Returns (tokens
-    [B, n_steps] greedy, new pools). Rows that hit EOS mid-chunk keep
-    decoding (their surplus tokens are discarded host-side, exactly like
-    the flat on-device while-loop's finished rows)."""
+    [B, n_steps], new pools) — greedy at temperature 0, position-keyed
+    temperature/top-p sampling otherwise (identical tokens to the host
+    stepwise sampler). Rows that hit EOS mid-chunk keep decoding (their
+    surplus tokens are discarded host-side, exactly like the flat
+    on-device while-loop's finished rows)."""
+    if rids is None:
+        rids = jnp.zeros((token.shape[0],), jnp.int32)
+
     def body(carry, _):
         tok, pools, pos = carry
         logits, pools = paged_decode_step(params, spec, tok, pools,
                                           page_table, pos,
                                           use_pallas=use_pallas)
-        nxt = jnp.argmax(logits, axis=-1)[:, None].astype(tok.dtype)
+        if temperature > 0:
+            # this step writes at pos, so the emitted token's sequence
+            # index is pos + 1
+            nxt = sample_rows_keyed(logits, rids, pos + 1, seed,
+                                    temperature, top_p)[:, None]
+            nxt = nxt.astype(tok.dtype)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)[:, None].astype(tok.dtype)
         return (nxt, pools, pos + 1), nxt[:, 0]
     (_, pools, _), toks = jax.lax.scan(
         body, (token, pools, positions), None, length=n_steps)

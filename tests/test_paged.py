@@ -365,20 +365,43 @@ def test_sampling_engine(tiny):
     rng = np.random.RandomState(8)
     prompt = rng.randint(0, 128, size=(9,))
 
-    def run(temperature, seed):
+    def run(temperature, seed, chunk):
         eng = PagedEngine(params, spec, max_batch=1, page_size=8,
                           num_pages=32, max_pages_per_seq=4,
                           temperature=temperature, top_p=0.9, seed=seed)
         rid = eng.add_request(prompt, max_new_tokens=12)
-        eng.run(chunk=4)  # sampling falls back to stepwise internally
+        eng.run(chunk=chunk)  # sampling runs ON DEVICE inside the scan
         return eng.result(rid).tolist()
 
-    assert run(1.5, 0) == run(1.5, 0)          # seeded determinism
-    outs = {tuple(run(1.5, s)) for s in range(4)}
+    assert run(1.5, 0, 4) == run(1.5, 0, 4)    # seeded determinism
+    outs = {tuple(run(1.5, s, 4)) for s in range(4)}
     assert len(outs) > 1                        # actually stochastic
     greedy = generate(params, spec, jnp.asarray(prompt[None, :]),
                       max_new_tokens=12)
-    assert run(0.0, 0) == np.asarray(greedy)[0, 9:].tolist()
+    assert run(0.0, 0, 4) == np.asarray(greedy)[0, 9:].tolist()
+    # position-keyed PRNG: multi-step scan == stepwise host scheduling
+    assert run(1.5, 3, 4) == run(1.5, 3, 1)
+    assert run(0.7, 5, 3) == run(0.7, 5, 1)
+
+
+def test_sampled_multistep_matches_stepwise_batch(tiny):
+    """Two concurrent sampled requests: chunked scan scheduling and
+    stepwise scheduling must emit identical tokens (keys depend only on
+    (seed, rid, position), never on chunk size or admission order)."""
+    params, spec = tiny
+    rng = np.random.RandomState(12)
+    prompts = [rng.randint(0, 128, size=(n,)) for n in (7, 10)]
+
+    def run(chunk):
+        eng = PagedEngine(params, spec, max_batch=2, page_size=8,
+                          num_pages=32, max_pages_per_seq=4,
+                          temperature=1.2, top_p=0.85, seed=9,
+                          prefill_chunk=4)
+        rids = [eng.add_request(p, max_new_tokens=9) for p in prompts]
+        eng.run(chunk=chunk)
+        return [eng.result(r).tolist() for r in rids]
+
+    assert run(5) == run(1)
 
 
 def test_paged_engine_opt_family(tmp_path):
