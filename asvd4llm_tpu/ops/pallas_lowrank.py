@@ -107,33 +107,53 @@ def _fused_2d(x, a, b, bias, *, tk=512, tn=512, interpret=False):
 
 
 def _q8_kernel(x_ref, b_ref, bsc_ref, bzp_ref, a_ref, asc_ref, azp_ref,
-               bias_ref, y_ref, t_acc, *, nk, nn):
+               bias_ref, y_ref, t_acc, xs_acc, *, nk, nn):
     """Int8-factor variant: A/B stored as int8 codes + per-row (scale, zero)
-    — HBM traffic is HALVED again vs bf16 factors; tiles are dequantized in
-    VMEM (VPU) right before the MXU dot."""
+    — HBM traffic is HALVED again vs bf16 factors.
+
+    The MXU multiplies RAW codes in bf16 (int8 values are exact in bf16,
+    and bf16xbf16 products accumulate in f32, so this is bit-identical to
+    dequantize-then-f32-dot — which ran the MXU in its 4-8x slower f32
+    mode, the round-2 kernel's main cost). Per-row dequant then folds into
+    post-dot f32 corrections:
+        t[m,r] = bsc[r] * (x @ codes.T)[m,r] - bsc[r]*bzp[r] * xsum[m]
+    (one broadcast multiply and one rank-1 update on the VPU)."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
         t_acc[:] = jnp.zeros_like(t_acc)
+        xs_acc[:] = jnp.zeros_like(xs_acc)
 
     @pl.when(g < nk)
     def _():
-        b_f = (b_ref[:].astype(jnp.float32) - bzp_ref[:]) * bsc_ref[:]
         t_acc[:] += jax.lax.dot_general(
-            x_ref[:].astype(jnp.float32), b_f,
+            x_ref[:], b_ref[:].astype(x_ref.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        xs_acc[:] += jnp.sum(x_ref[:].astype(jnp.float32), axis=1,
+                             keepdims=True)
+
+    @pl.when(g == nk)
+    def _():
+        # all K tiles accumulated: apply B's per-row dequant ONCE
+        t_acc[:] = t_acc[:] * bsc_ref[:].T \
+            - xs_acc[:] * (bsc_ref[:] * bzp_ref[:]).T
 
     @pl.when(g >= nk)
     def _():
-        a_f = (a_ref[:].astype(jnp.float32) - azp_ref[:]) * asc_ref[:]
+        # the dot and its zero-point correction must see the SAME t: cast
+        # once to the io dtype (matching the XLA dequant fallback, which
+        # also runs the second GEMM at io precision)
+        t_b = t_acc[:].astype(y_ref.dtype)
         y = jax.lax.dot_general(
-            t_acc[:], a_f,
+            t_b, a_ref[:].astype(y_ref.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        ts = jnp.sum(t_b.astype(jnp.float32), axis=1, keepdims=True)
+        y = y * asc_ref[:].T - ts * (asc_ref[:] * azp_ref[:]).T
         y_ref[:] = (y + bias_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
 
 
@@ -148,7 +168,8 @@ def _fused_2d_q8(x, a8, asc, azp, b8, bsc, bzp, bias, *, tk=512, tn=512,
 
     grid_spec = pl.GridSpec(
         grid=(nk + nn,),
-        scratch_shapes=[pltpu.VMEM((M, R), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((M, R), jnp.float32),
+                        pltpu.VMEM((M, 1), jnp.float32)],
         in_specs=[
             pl.BlockSpec((M, tk), lambda g: (0, jnp.minimum(g, nk - 1)),
                          memory_space=pltpu.VMEM),
@@ -202,20 +223,26 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
     def _():
         t_acc[:] = jnp.zeros_like(t_acc)
 
+    io_dtype = y_ref.dtype
+
     @pl.when(g < nk)
     def _():
-        pk = bq_ref[:].astype(jnp.int32)         # [R, half]
-        lo = (pk & 15).astype(jnp.float32)
-        hi = ((pk >> 4) & 15).astype(jnp.float32)
+        # raw 4-bit codes are exact in bf16 — the dots run the MXU in its
+        # fast bf16 mode (the round-2 kernel's f32-input dots ran it 4-8x
+        # slower, which is why q4 measured no faster than dense); scale /
+        # zero corrections stay f32 on the [M, R] partials
+        pk = bq_ref[:]                           # [R, half] uint8
+        lo = (pk & 15).astype(io_dtype)
+        hi = ((pk >> 4) & 15).astype(io_dtype)
         for k in range(col_tile // group):       # static unroll (<=4)
             nib = lo if k < ngh else hi
             codes = nib[:, (k % ngh) * group:(k % ngh + 1) * group]
-            xg = x_ref[:, k * group:(k + 1) * group].astype(jnp.float32)
+            xg = x_ref[:, k * group:(k + 1) * group]
             partial = jax.lax.dot_general(
                 xg, codes,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            xs = jnp.sum(xg, axis=1, keepdims=True)      # [M, 1]
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
             # B scales ride in the [nk, 8-padded group, R] tile layout
             # (Mosaic rejects an (R, tk/group) block: tk/group < 8 lanes)
             t_acc[:] += partial * bs_ref[0, k, :][None, :] \
@@ -223,10 +250,11 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
 
     @pl.when(g >= nk)
     def _():
-        pk = aq_ref[:].astype(jnp.int32)         # [TN, Rp/2]
-        lo = (pk & 15).astype(jnp.float32)
-        hi = ((pk >> 4) & 15).astype(jnp.float32)
+        pk = aq_ref[:]                           # [TN, Rp/2] uint8
+        lo = (pk & 15).astype(io_dtype)
+        hi = ((pk >> 4) & 15).astype(io_dtype)
         R = t_acc.shape[1]
+        t_b = t_acc[:].astype(io_dtype)          # one cast, dots in bf16
         y_acc[:] = jnp.broadcast_to(bias_ref[:].astype(jnp.float32),
                                     y_acc.shape)
         for g2 in range(R // group):             # static unroll
@@ -235,13 +263,14 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
             nib = lo if j < ngh else hi
             c0 = t_idx * half + (j % ngh) * group
             codes = nib[:, c0:c0 + group]        # [TN, group]
-            tg = t_acc[:, g2 * group:(g2 + 1) * group]
+            tg = t_b[:, g2 * group:(g2 + 1) * group]
             partial = jax.lax.dot_general(
                 tg, codes,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             y_acc[:] += partial * as_ref[:, g2][None, :] \
-                - jnp.sum(tg, axis=1, keepdims=True) * azs_ref[:, g2][None, :]
+                - jnp.sum(tg.astype(jnp.float32), axis=1,
+                          keepdims=True) * azs_ref[:, g2][None, :]
         y_ref[:] = y_acc[:].astype(y_ref.dtype)
 
 

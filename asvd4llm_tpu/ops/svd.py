@@ -22,6 +22,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _gram_truncated_svd(w: jax.Array, rank: int):
+    """Truncated SVD via the [min, min] Gram eigendecomposition (m >= n).
+
+    Accuracy: squares the condition number — singular values below
+    ~sqrt(eps)*s_max (~3e-4 relative in f32) lose precision, but the
+    factors feed a truncation that discards the small singular directions
+    anyway. Error bound pinned by tests/test_asvd_math.py and measured at
+    the real 32000x4096 head shape in svd_accuracy_r3.json."""
+    c = w.T @ w                          # [n, n]
+    s2, v = jnp.linalg.eigh(c)           # ascending
+    s2 = s2[::-1]
+    v = v[:, ::-1]
+    s = jnp.sqrt(jnp.maximum(s2, 0.0))
+    u = (w @ v) / jnp.maximum(s, 1e-12)[None, :]
+    return u[:, :rank], s[:rank], v.T[:rank, :]
+
+
 @functools.partial(jax.jit, static_argnames=("rank",))
 def _exact_truncated_svd(w: jax.Array, rank: int):
     """NOTE: jitted (static rank) so the compiled SVD lands in the
@@ -32,19 +49,11 @@ def _exact_truncated_svd(w: jax.Array, rank: int):
     # VERY tall/wide matrices (the 32000x4096 lm_head) take the Gram path:
     # XLA's SVD decomposition program for the full matrix is so large that
     # compiling it OOM-kills the compile service; the Gram matrix keeps the
-    # decomposition at [min, min]. Accuracy: squares the condition number —
-    # harmless here (factors feed a truncation that discards the small
-    # singular directions anyway), and the small-matrix exact path that the
+    # decomposition at [min, min]. The small-matrix exact path that the
     # parity tests pin is unchanged.
     if max(m, n) >= 4 * min(m, n) and max(m, n) >= 16384:
         if m >= n:
-            c = w.T @ w                          # [n, n]
-            s2, v = jnp.linalg.eigh(c)           # ascending
-            s2 = s2[::-1]
-            v = v[:, ::-1]
-            s = jnp.sqrt(jnp.maximum(s2, 0.0))
-            u = (w @ v) / jnp.maximum(s, 1e-12)[None, :]
-            return u[:, :rank], s[:rank], v.T[:rank, :]
+            return _gram_truncated_svd(w, rank)
         u, s, vh = _exact_truncated_svd(w.T, rank)
         return vh.T, s, u.T
     u, s, vh = jnp.linalg.svd(w, full_matrices=False)
@@ -97,18 +106,32 @@ def truncated_svd(w: jax.Array, rank: int, *, backend: str = "auto",
     (benchmarks/results/svd_bench_r2.json): randomized is 4x faster at
     rank 0.45*min(m,n) with recomposition error within 2e-4 of exact
     (niter=8), and only converges to exact's cost above ~0.6.
-    """
+
+    Compile-cache discipline: the jitted programs are keyed on the STATIC
+    rank, and each novel (shape, rank) costs a multi-minute compile +
+    per-process load through this environment's TPU tunnel (measured in
+    pipeline_bench_r3_small: the search phase paid ~145 s per fresh rank
+    even with the scan's programs warm). The exact path therefore always
+    decomposes at FULL rank (jnp.linalg.svd computes the full
+    factorization anyway — slicing after is free and exact), giving ONE
+    program per weight shape shared by scan, search and final decompose."""
     m, n = w.shape
     rank = int(min(rank, m, n))
     if backend == "auto":
         small = (m * n <= 1024 * 1024) or (rank >= 0.5 * min(m, n))
         backend = "exact" if small else "randomized"
     if backend == "exact":
-        return _exact_truncated_svd(w, rank)
+        u, s, vh = _exact_truncated_svd(w, min(m, n))
+        return u[:, :rank], s[:rank], vh[:rank, :]
     if backend == "randomized":
         if key is None:
             key = jax.random.PRNGKey(0)
-        return randomized_svd(w, rank, key=key, niter=niter)
+        # bucket the subspace size to a 256 multiple: a handful of
+        # programs per shape instead of one per distinct grid rank
+        # (extra subspace only improves accuracy; result sliced to rank)
+        rank_b = min(-(-rank // 256) * 256, m, n)
+        u, s, vh = randomized_svd(w, rank_b, key=key, niter=niter)
+        return u[:, :rank], s[:rank], vh[:rank, :]
     raise ValueError(f"unknown svd backend {backend!r}")
 
 
@@ -127,7 +150,10 @@ def batched_truncated_svd(ws: jax.Array, rank: int, *, backend: str = "auto",
         small = (m * n <= 1024 * 1024) or (rank >= 0.5 * min(m, n))
         backend = "exact" if small else "randomized"
     if backend == "exact":
-        return jax.vmap(lambda w: _exact_truncated_svd(w, rank))(ws)
+        m, n = ws.shape[1:]
+        us, ss, vhs = jax.vmap(
+            lambda w: _exact_truncated_svd(w, min(m, n)))(ws)
+        return us[:, :, :rank], ss[:, :rank], vhs[:, :rank, :]
     if key is None:
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, L)

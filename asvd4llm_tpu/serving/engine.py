@@ -15,10 +15,12 @@ at it, so their masked writes never touch a live page.
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from asvd4llm_tpu.serving.paged import (
@@ -85,6 +87,9 @@ class PagedEngine:
         self.waiting: list[_Request] = []
         self.requests: dict[int, _Request] = {}
         self._next_rid = 0
+        # wall-clock phase breakdown (seconds): prefill/decode cover the
+        # device dispatch + result fetch; host is scheduling bookkeeping
+        self.phase_s = {"prefill": 0.0, "decode": 0.0, "host": 0.0}
 
     # ------------------------------------------------------------ admin --
 
@@ -176,6 +181,7 @@ class PagedEngine:
                    if r is not None and not r.decoding]
         if not filling:
             return
+        t0 = time.perf_counter()
         C = self.prefill_chunk
         MB = len(self.slots)
         ids = np.zeros((MB, C), np.int32)
@@ -190,6 +196,8 @@ class PagedEngine:
         logits, self.pools = paged_append_batch(
             self.params, self.spec, jnp.asarray(ids), self.pools,
             jnp.asarray(pt), jnp.asarray(pos0))
+        jax.block_until_ready(logits)
+        self.phase_s["prefill"] += time.perf_counter() - t0
         logits_np = None
         for req in filling:
             c0 = req.filled
@@ -243,11 +251,14 @@ class PagedEngine:
                 req.pages.append(new_page)
                 self.page_table[req.slot, page_idx] = new_page
 
+        t0 = time.perf_counter()
         logits, self.pools = paged_decode_step(
             self.params, self.spec, jnp.asarray(self.cur_token),
             self.pools, jnp.asarray(self.page_table),
             jnp.asarray(self.positions), use_pallas=self.use_pallas)
         logits_np = np.asarray(logits)
+        self.phase_s["decode"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         for req in list(active):
             tok = self._pick(logits_np[req.slot], req.rid,
@@ -257,6 +268,7 @@ class PagedEngine:
             self.cur_token[req.slot, 0] = tok
             if self._finished(req):
                 self._retire(req)
+        self.phase_s["host"] += time.perf_counter() - t0
 
     def step_many(self, n_steps: int):
         """Decode n_steps tokens per active slot in ONE device dispatch
@@ -285,6 +297,7 @@ class PagedEngine:
         rids = np.zeros((len(self.slots),), np.int32)
         for req in active:
             rids[req.slot] = req.rid
+        t0 = time.perf_counter()
         toks, self.pools = paged_decode_scan(
             self.params, self.spec, jnp.asarray(self.cur_token),
             self.pools, jnp.asarray(self.page_table),
@@ -292,6 +305,8 @@ class PagedEngine:
             use_pallas=self.use_pallas, temperature=self.temperature,
             top_p=self.top_p, seed=self.seed, rids=jnp.asarray(rids))
         toks = np.asarray(toks)                       # [B, n_steps]
+        self.phase_s["decode"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         for req in list(active):
             emitted = 0
@@ -304,6 +319,7 @@ class PagedEngine:
             self.cur_token[req.slot, 0] = req.tokens[-1]
             if self._finished(req):
                 self._retire(req)
+        self.phase_s["host"] += time.perf_counter() - t0
 
     def run(self, max_steps: int = 10_000, chunk: int = 1):
         """Multi-step scheduling works for BOTH greedy and sampled decode:

@@ -45,10 +45,18 @@ REF_CALIB, REF_SEQLEN = 32, 2048
 def project_scan(timings, layers_measured: int, layers_full: int) -> dict:
     """Suffix-evaluator scan cost is c0 + c1*(L - l) per decoder name
     (prefix-cached: only the suffix runs) — NOT linear in depth. Fit
-    (c0, c1) by least squares over the measured per-name times, then sum
-    the model over the full-depth name grid. Extras (lm_head) carry over
-    unchanged (final-hidden head grid is depth-independent)."""
-    dec = [(layers_measured - li, dt) for _, li, dt in timings if li >= 0]
+    (c0, c1) by least squares over the measured per-name STEADY-STATE
+    times, then sum the model over the full-depth name grid.
+
+    Layer 0 is excluded from the fit: its names pay the one-time XLA
+    compile + per-process program load of each leaf key's evaluator
+    (measured 30-740 s through this environment's TPU tunnel; warm-cache
+    steady state is what a production run repeats). The excluded warm-up
+    cost is reported separately as compile_warmup_s. Extras (lm_head)
+    carry over unchanged (final-hidden head grid is depth-independent) but
+    also include their own one-time compile."""
+    dec = [(layers_measured - li, dt) for _, li, dt in timings if li >= 1]
+    warmup = sum(dt for _, li, dt in timings if li == 0)
     extras = sum(dt for _, li, dt in timings if li < 0)
     if not dec:
         return {"projected_scan_s": extras}
@@ -58,12 +66,15 @@ def project_scan(timings, layers_measured: int, layers_full: int) -> dict:
     dts = _np.array([d for _, d in dec], dtype=_np.float64)
     A = _np.stack([_np.ones_like(suffix), suffix], axis=1)
     (c0, c1), *_ = _np.linalg.lstsq(A, dts, rcond=None)
-    names_per_layer = len(dec) // layers_measured
+    c0 = max(float(c0), 0.0)
+    c1 = max(float(c1), 0.0)
+    names_per_layer = len(dec) // max(layers_measured - 1, 1)
     full = sum(names_per_layer * (c0 + c1 * (layers_full - li))
                for li in range(layers_full))
-    return {"fit_c0_s": round(float(c0), 3), "fit_c1_s": round(float(c1), 3),
+    return {"fit_c0_s": round(c0, 3), "fit_c1_s": round(c1, 3),
             "names_per_layer": names_per_layer,
-            "extras_s": round(extras, 1),
+            "extras_s_incl_compile": round(extras, 1),
+            "compile_warmup_s": round(warmup, 1),
             "projected_scan_s": round(float(full) + extras, 1)}
 
 

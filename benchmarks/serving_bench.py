@@ -72,7 +72,31 @@ def _engine_run(params, spec, prompts, *, latent, use_pallas, num_pages,
     pool_bytes = cache_bytes([{k: v[:pool_pages].reshape(1, -1,
                                                          *v.shape[2:])
                                for k, v in p.items()} for p in eng.pools])
-    return n_tokens / dt, pool_bytes
+    return n_tokens / dt, pool_bytes, dict(eng.phase_s)
+
+
+def _engine_run_admission(params, spec, prompts, *, latent, use_pallas,
+                          num_pages, max_pages, prefill_chunk):
+    """FULL-workload engine throughput: admission included. Chunked mode
+    (prefill_chunk > 0) interleaves one batched prefill segment per loop
+    turn with the decode chunks; whole-prompt mode (0) prefills each
+    request serially before any decode can run — the comparison isolates
+    the admission-overlap win."""
+    import numpy as np
+
+    eng = PagedEngine(params, spec, max_batch=len(prompts), page_size=PAGE,
+                      num_pages=num_pages, max_pages_per_seq=max_pages,
+                      latent=latent, dtype=jnp.bfloat16,
+                      use_pallas=use_pallas, prefill_chunk=prefill_chunk)
+    rng = np.random.RandomState(0)
+    t0 = time.perf_counter()
+    for S in prompts:
+        eng.add_request(rng.randint(0, VOCAB, size=(S,)),
+                        max_new_tokens=MAX_NEW)
+    eng.run(chunk=CHUNK)
+    dt = time.perf_counter() - t0
+    n_tokens = sum(len(eng.result(r)) for r in range(len(prompts)))
+    return n_tokens / dt, dict(eng.phase_s)
 
 
 import functools  # noqa: E402
@@ -153,16 +177,38 @@ def main(argv=None):
         if name.endswith("_flat"):
             _flat_lockstep(params, spec, PROMPTS, latent=latent)
             tps, mem = _flat_lockstep(params, spec, PROMPTS, latent=latent)
+            phases = None
         else:
             _engine_run(params, spec, PROMPTS, latent=latent,
                         use_pallas=up, num_pages=total_pages,
                         max_pages=max_pages)
-            tps, mem = _engine_run(params, spec, PROMPTS, latent=latent,
-                                   use_pallas=up, num_pages=total_pages,
-                                   max_pages=max_pages)
+            tps, mem, phases = _engine_run(
+                params, spec, PROMPTS, latent=latent, use_pallas=up,
+                num_pages=total_pages, max_pages=max_pages)
         out["runs"][name] = {"decode_tokens_per_sec": round(tps, 1),
                              "cache_mb": round(mem / 2 ** 20, 1)}
+        if phases is not None:
+            out["runs"][name]["phase_s"] = {
+                k: round(v, 3) for k, v in phases.items()}
         print(json.dumps({name: out["runs"][name]}), flush=True)
+
+    # full-workload run (admission INCLUDED): batched chunked admission
+    # interleaving with decode. Whole-prompt admission is not benchable
+    # here — it compiles one prefill program per novel prompt length
+    # (8 multi-minute tunnel compiles for this workload), which is exactly
+    # why the chunked path exists.
+    name, pchunk = "dense_admission_chunked", PAGE
+    _engine_run_admission(dense, spec, PROMPTS, latent=False,
+                          use_pallas=on_tpu, num_pages=total_pages,
+                          max_pages=max_pages, prefill_chunk=pchunk)
+    tps, phases = _engine_run_admission(
+        dense, spec, PROMPTS, latent=False, use_pallas=on_tpu,
+        num_pages=total_pages, max_pages=max_pages, prefill_chunk=pchunk)
+    out["runs"][name] = {"gen_tokens_per_sec": round(tps, 1),
+                         "prompt_tokens": sum(PROMPTS),
+                         "phase_s": {k: round(v, 3)
+                                     for k, v in phases.items()}}
+    print(json.dumps({name: out["runs"][name]}), flush=True)
 
     for pair in (("dense_paged", "dense_flat"),
                  ("latent_paged_fused", "latent_flat")):

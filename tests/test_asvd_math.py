@@ -182,3 +182,31 @@ def test_singular_values_stable_rank():
     sr = (fro2 / float(sv[0]) ** 2) ** 0.5
     assert 1.0 <= sr <= 64.0
     np.testing.assert_allclose(fro2, float(jnp.sum(sv ** 2)), rtol=1e-4)
+
+
+def test_gram_truncated_svd_error_bound():
+    """The lm_head Gram path (ops/svd.py::_gram_truncated_svd) squares the
+    condition number — pin its accuracy vs the direct SVD on a decaying
+    known spectrum: singular values above the f32 sqrt(eps) floor match to
+    1e-3 rel, and the rank-r recomposition is within 1% of optimal."""
+    from asvd4llm_tpu.ops.svd import _gram_truncated_svd
+
+    m, n, rank = 512, 64, 24
+    ku, kv = jax.random.split(jax.random.PRNGKey(13))
+    u0, _ = jnp.linalg.qr(jax.random.normal(ku, (m, n), jnp.float32))
+    v0, _ = jnp.linalg.qr(jax.random.normal(kv, (n, n), jnp.float32))
+    s_true = jnp.arange(1, n + 1, dtype=jnp.float32) ** jnp.float32(-1.0)
+    w = (u0 * s_true[None, :]) @ v0.T
+
+    u, s, vh = _gram_truncated_svd(w, rank)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_true[:rank]),
+                               rtol=1e-3)
+    resid = float(jnp.linalg.norm(w - (u * s[None, :]) @ vh))
+    optimal = float(jnp.sqrt(jnp.sum(s_true[rank:] ** 2)))
+    assert resid <= optimal * 1.01, (resid, optimal)
+
+    # and against the direct SVD factors themselves
+    ud, sd, vhd = truncated_svd(w, rank, backend="exact")
+    np.testing.assert_allclose(np.asarray(s), np.asarray(sd), rtol=1e-3)
+    resid_direct = float(jnp.linalg.norm(w - (ud * sd[None, :]) @ vhd))
+    assert abs(resid - resid_direct) <= 0.01 * resid_direct + 1e-6
