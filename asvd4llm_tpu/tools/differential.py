@@ -236,9 +236,10 @@ def run_our_pipeline(torch_model, calib_batches, cfg) -> dict:
             "fisher": {} if fisher is None else
             {k: np.asarray(v) for k, v in fisher.items()},
             "sensitivity": sens, "manifest": dict(manifest), "ppl": ppl,
-            # post-search state for downstream differentials (quantization);
-            # compare() ignores keys it doesn't know
-            "compressed": compressed, "spec": spec}
+            # post-search state for downstream differentials (quantization,
+            # cut-boundary attribution); compare() ignores unknown keys
+            "compressed": compressed, "spec": spec, "raw_params": params,
+            "stats_jax": stats, "fisher_jax": fisher}
 
 
 def compare(ref: dict, ours: dict, *, stats_rtol=2e-3, ppl_rtol=1e-3,
@@ -344,8 +345,53 @@ def run_differential(cfg, workdir: str, *, family: str = "llama",
     # ours first: the reference run mutates the torch model in place
     ours = run_our_pipeline(model, batches, cfg)
     ref = run_reference_pipeline(model, batches, cfg, workdir)
-    return {"problems": compare(ref, ours), "ref": ref, "ours": ours,
-            "model": model, "batches": batches}
+    problems = compare(ref, ours)
+    boundary_note = None
+    if any(p.startswith("rank manifest differs") for p in problems):
+        # Cut-boundary attribution: the binary search is DISCONTINUOUS in
+        # its inputs — near-tied sensitivity PPLs (matching within
+        # tolerance but not bitwise across torch and XLA f32) can reorder
+        # the sort at the cut index and flip one layer's assignment. Run
+        # OUR search on the REFERENCE's sensitivity dict: if it reproduces
+        # the reference manifest EXACTLY, the bookkeeping is
+        # input-equivalent and the original diff is eval-noise at the
+        # boundary; final-PPL parity is then checked on the
+        # manifest-matched model instead.
+        import numpy as np
+
+        from asvd4llm_tpu.calib.search import binary_search_truncation_rank
+        from asvd4llm_tpu.eval.ppl import evaluate_perplexity
+
+        ref_sens = {k: {float(r): float(v) for r, v in d.items()}
+                    for k, d in ref["sensitivity"].items()}
+        cross, cross_manifest = binary_search_truncation_rank(
+            ours["raw_params"], ours["spec"], ref_sens, batches, cfg,
+            stats=ours["stats_jax"], fisher=ours["fisher_jax"])
+        if dict(cross_manifest) == ref["manifest"]:
+            input_ids = np.concatenate(
+                [np.asarray(b["input_ids"]) for b in batches], axis=0)
+            cross_ppl = float(evaluate_perplexity(
+                cross, ours["spec"], input_ids, cfg.n_calib_samples))
+            problems = [p for p in problems
+                        if not p.startswith("rank manifest differs")
+                        and not p.startswith("final ppl")]
+            if abs(cross_ppl - ref["ppl"]) > 1e-3 * abs(ref["ppl"]):
+                problems.append(
+                    f"final ppl (manifest-matched): ref {ref['ppl']:.6f} "
+                    f"vs ours {cross_ppl:.6f}")
+            only_r = {k: v for k, v in ref["manifest"].items()
+                      if ours["manifest"].get(k) != v}
+            only_o = {k: v for k, v in ours["manifest"].items()
+                      if ref["manifest"].get(k) != v}
+            boundary_note = (
+                f"manifest differed at the sort-cut boundary "
+                f"(ref-side {only_r} ours-side {only_o}); our search on the "
+                f"reference's sensitivity dict reproduces the reference "
+                f"manifest exactly, and the manifest-matched model's calib "
+                f"PPL is {cross_ppl:.6f} vs ref {ref['ppl']:.6f}")
+    return {"problems": problems, "ref": ref, "ours": ours,
+            "model": model, "batches": batches,
+            "boundary_note": boundary_note}
 
 
 def _torch_layer_linears(model) -> dict:
@@ -572,6 +618,7 @@ def main(argv=None):
     report = {"family": ns.family, "preset": ns.preset, "shapes": shapes,
               "rank_align": ns.rank_align,
               "parity": not out["problems"], "problems": out["problems"],
+              "boundary_note": out.get("boundary_note"),
               "ref_ppl": out["ref"]["ppl"], "our_ppl": out["ours"]["ppl"],
               "manifest_ranks": sorted(set(out["ref"]["manifest"].values())),
               "n_compressed": len(out["ref"]["manifest"]),
