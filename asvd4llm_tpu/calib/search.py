@@ -45,6 +45,25 @@ from asvd4llm_tpu.ops.asvd import (
 log = logging.getLogger(__name__)
 
 
+def naive_compressed_params(numels: dict, ratios: dict) -> tuple:
+    """(compressed, total) params via naive `+=` float accumulation in
+    dict order — NOT builtin sum(): since Python 3.12 sum() is
+    Neumaier-compensated, which is MORE accurate than the reference's
+    `compress_params += numel * ratio` loop (ref binary_search.py:90-93).
+    At a knife-edge where the achievable ratio equals the target exactly,
+    the last ulp decides the branch (measured in the production
+    differential: naive 98933145.60000001 vs compensated 98933145.6 ->
+    `0.8500000000000001 > 0.85` flips, shifting the manifest by one
+    layer). Bit-replicate the reference's arithmetic, including its
+    iteration order (see reference_walk_order)."""
+    tot = 0
+    comp = 0
+    for n, r in ratios.items():
+        tot += numels[n]
+        comp += numels[n] * r
+    return comp, tot
+
+
 def binary_search_truncation_rank(params, spec, sensitivity_dict,
                                   calib_loader, cfg, *, stats=None,
                                   fisher=None):
@@ -63,6 +82,16 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
     log.info("=== %s target: ppl=%s, ratio_target=%s ===",
              "compress kv_cache" if cfg.compress_kv_cache else "compress weight",
              cfg.ppl_target, ratio_target)
+
+    # Re-key the dict into the reference's module-walk order: the stable
+    # sort's tie-break (exact PPL ties are COMMON under rank_align, where
+    # several grid ratios alias to one rank) and the naive compressed-params
+    # accumulation below both depend on dict order.
+    from asvd4llm_tpu.models.registry import reference_walk_order
+    sensitivity_dict = {
+        name: sensitivity_dict[name]
+        for name in reference_walk_order(params, spec,
+                                         list(sensitivity_dict))}
 
     sensitivity_list = []
     for layername, v in sensitivity_dict.items():
@@ -149,8 +178,7 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
     while low < high:
         mid = (low + high) // 2
         ratios = config_at(mid)
-        tot = sum(numels[n] for n in ratios)
-        comp = sum(numels[n] * r for n, r in ratios.items())
+        comp, tot = naive_compressed_params(numels, ratios)
         if cfg.ppl_target > 0:
             trial = params
             # NOTE: like the reference (binary_search.py:66-79), the trial

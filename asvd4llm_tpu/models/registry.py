@@ -158,6 +158,37 @@ def iter_linears(params: dict, spec, include_extras: bool = False
             yield name, get_linear(params, spec, name)
 
 
+def reference_walk_order(params: dict, spec, names) -> list[str]:
+    """Arrange `names` in the reference's stack-DFS nn.Module walk order
+    (ref sensitivity.py:14-33 / binary_search.py:14-27): the LIFO stack
+    pops the most-recently-pushed module first, so lm_head (a direct child
+    of the CausalLM root) is recorded FIRST, decoder layers are visited
+    DESCENDING, and within a llama-family layer the mlp's linears
+    (pushed after self_attn, popped before it) precede the attention's;
+    OPT records fc1/fc2 during the layer's own iteration and k/v/q/out
+    when its self_attn pops (verified against transformers 4.x modules).
+
+    The binary search's stable PPL sort and its naive float accumulation
+    of compressed params are both sensitive to this order at exact ties /
+    knife-edge targets, so bit-parity with the reference requires walking
+    in its order, not ours."""
+    if spec.family == "opt":
+        per_layer = ("fc1", "fc2", "k_proj", "v_proj", "q_proj", "out_proj")
+        extras = [LM_HEAD_NAME, PROJECT_OUT_NAME, PROJECT_IN_NAME]
+    else:
+        per_layer = ("gate_proj", "up_proj", "down_proj",
+                     "q_proj", "k_proj", "v_proj", "o_proj")
+        extras = [LM_HEAD_NAME]
+    full: list[str] = list(extras)
+    for i in reversed(range(len(params["layers"]))):
+        full += [linear_name(spec, i, k) for k in per_layer]
+    names_set = set(names)
+    ordered = [n for n in full if n in names_set]
+    # defensive: unknown names keep their incoming relative order at the end
+    ordered += [n for n in names if n not in set(ordered)]
+    return ordered
+
+
 def get_linear(params: dict, spec, name: str) -> dict:
     if name == LM_HEAD_NAME:
         head = params.get("lm_head")

@@ -623,6 +623,18 @@ def main(argv=None):
               "manifest_ranks": sorted(set(out["ref"]["manifest"].values())),
               "n_compressed": len(out["ref"]["manifest"]),
               "wall_s": round(time.time() - t0, 1)}
+    if out["problems"]:
+        # full-precision inputs so a failed run is diagnosable offline
+        # (the sum()-vs-+= knife edge was root-caused from scan prints;
+        # make that forensic data part of the artifact)
+        report["diagnostics"] = {
+            "ref_sensitivity": {k: {repr(r): float(v) for r, v in d.items()}
+                                for k, d in out["ref"]["sensitivity"].items()},
+            "our_sensitivity": {k: {repr(r): float(v) for r, v in d.items()}
+                                for k, d in out["ours"]["sensitivity"].items()},
+            "ref_manifest": out["ref"]["manifest"],
+            "our_manifest": out["ours"]["manifest"],
+        }
     print(json.dumps(report, indent=2))
     if ns.out:
         with open(ns.out, "w") as f:

@@ -61,8 +61,13 @@ def ref_cut_config(sensitivity_dict, numels, ratio_target, kv=False):
         ratios = {n: default for n in sensitivity_dict}
         for n, r, _ in slist[mid:]:
             ratios[n] = min(ratios[n], r)
-        tot = sum(numels[n] for n in ratios)
-        comp = sum(numels[n] * r for n, r in ratios.items())
+        # naive += like the reference, NOT builtin sum() (compensated
+        # since py3.12) — the last ulp decides knife-edge branches
+        tot = 0
+        comp = 0
+        for n, r in ratios.items():
+            tot += numels[n]
+            comp += numels[n] * r
         now = comp / tot / (2 if kv else 1)
         if now > ratio_target:
             high = mid
@@ -219,3 +224,69 @@ def test_batched_ratio_scan_matches_serial(tiny):
         for r in s_batched[name]:
             assert s_batched[name][r] == pytest.approx(s_serial[name][r],
                                                        rel=1e-4), (name, r)
+
+
+def test_naive_param_accumulation_matches_reference():
+    """The search's compressed-params accumulation must bit-replicate the
+    reference's naive `+=` loop (ref binary_search.py:90-93). Builtin
+    sum() is Neumaier-compensated since Python 3.12 and rounds the SAME
+    terms differently in the last ulp — which flipped the branch at the
+    production-differential knife edge (now_ratio 0.8500000000000001 vs
+    0.85 against target 0.85)."""
+    from asvd4llm_tpu.calib.search import naive_compressed_params
+
+    numels = {"a": 3145728, "b": 3145728, "c": 3145728,
+              "d": 3145728, "e": 3145728, "f": 2359296}
+    ratios = {"a": 0.5, "b": 0.5, "c": 0.2, "d": 0.6, "e": 0.4, "f": 0.5}
+    comp, tot = naive_compressed_params(numels, ratios)
+    assert tot == sum(numels.values())
+    # the naive loop's value...
+    expect = 0
+    for n, r in ratios.items():
+        expect += numels[n] * r
+    assert comp == expect
+    # ...and it genuinely differs from compensated sum() on these terms,
+    # so a "simplification" back to sum() breaks this test
+    assert comp != sum(numels[n] * r for n, r in ratios.items())
+
+
+@pytest.mark.parametrize("family", ["llama", "opt350"])
+def test_reference_walk_order_matches_torch_walk(family):
+    """reference_walk_order must reproduce the reference's stack-DFS
+    nn.Module walk (ref sensitivity.py:14-33): lm_head first, layers
+    descending, mlp linears before attention (llama) / fc1,fc2 then
+    k,v,q,out (OPT incl. project_out/project_in). The stable sort's
+    tie-break and the float accumulation order both depend on it."""
+    import torch.nn as nn
+
+    from asvd4llm_tpu.models.registry import (
+        linear_names, reference_walk_order,
+    )
+
+    torch.manual_seed(0)
+    if family == "llama":
+        model = transformers.LlamaForCausalLM(transformers.LlamaConfig(
+            vocab_size=64, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=3, num_attention_heads=2,
+            num_key_value_heads=2, max_position_embeddings=64))
+    else:
+        model = transformers.OPTForCausalLM(transformers.OPTConfig(
+            vocab_size=64, hidden_size=16, ffn_dim=32,
+            num_hidden_layers=3, num_attention_heads=2,
+            max_position_embeddings=64, word_embed_proj_dim=8))
+    params, spec = params_from_torch_model(model, dtype=jnp.float32)
+
+    expected = []
+    stack = [model]
+    mod_names = {m: n for n, m in model.named_modules()}
+    while stack:
+        sub = stack.pop()
+        for _, child in sub.named_children():
+            if isinstance(child, nn.Linear):
+                expected.append(mod_names[child])
+            else:
+                stack.append(child)
+
+    names = linear_names(params, spec, include_extras=True)
+    got = reference_walk_order(params, spec, names)
+    assert got == expected
