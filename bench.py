@@ -222,6 +222,18 @@ def _build_q4_layer():
     return packs, layer_q4, Hp
 
 
+def _load_first(base, *names):
+    """First readable artifact among names (newest round first)."""
+    import os
+    for name in names:
+        try:
+            with open(os.path.join(base, name)) as f:
+                return json.load(f)
+        except Exception:
+            continue
+    raise FileNotFoundError(names)
+
+
 def _artifact_summary():
     """Headline numbers from the committed driver-independent artifacts."""
     import os
@@ -229,8 +241,8 @@ def _artifact_summary():
                         "benchmarks", "results")
     out = {}
     try:
-        with open(os.path.join(base, "model_decode_bench_r2b.json")) as f:
-            d = json.load(f)["runs"]
+        d = _load_first(base, "model_decode_bench_r3.json",
+                        "model_decode_bench_r2b.json")["runs"]
         out["full_model_decode"] = {
             k: {m: d[k][m] for m in
                 ("lowrank_vs_dense", "latent_fused_vs_dense",
@@ -240,8 +252,8 @@ def _artifact_summary():
     except Exception:
         pass
     try:
-        with open(os.path.join(base, "serving_bench_r2.json")) as f:
-            d = json.load(f)["runs"]
+        d = _load_first(base, "serving_bench_r3.json",
+                        "serving_bench_r2.json")["runs"]
         out["paged_serving"] = {
             "dense_paged_vs_flat": d.get("dense_paged_vs_dense_flat"),
             "latent_paged_fused_vs_flat":
@@ -249,15 +261,32 @@ def _artifact_summary():
             "dense_cache_mb_paged_vs_flat":
                 [d["dense_paged"]["cache_mb"], d["dense_flat"]["cache_mb"]],
         }
+        if "dense_admission_chunked" in d:
+            out["paged_serving"]["admission_included_gen_tok_s"] = \
+                d["dense_admission_chunked"].get("gen_tokens_per_sec")
     except Exception:
         pass
     try:
-        with open(os.path.join(base, "pipeline_bench_r2.json")) as f:
-            d = json.load(f)
+        d = _load_first(base, "pipeline_bench_r3.json",
+                        "pipeline_bench_r2.json")
         out["pipeline_7b_dims"] = {
             "measured_s": d["measured_s"],
             "projected_full_7b_s": d["projected_full_7b_s"]["total"],
             "layers_measured": d["geometry"]["layers"],
+            "eval_budget_vs_canonical": d.get("eval_budget_vs_canonical"),
+            "run_kind": d.get("run_kind"),
+        }
+    except Exception:
+        pass
+    try:
+        d = _load_first(base, "svd_accuracy_r3.json")["runs"]
+        out["svd_accuracy"] = {
+            "gram_head_excess_over_optimal":
+                d["gram_head"]["excess_over_optimal"],
+            "randomized_vs_exact_err_ratio": {
+                k.replace("mlp_decay_", ""):
+                    v["randomized_vs_exact_err_ratio"]
+                for k, v in d.items() if k.startswith("mlp_decay_")},
         }
     except Exception:
         pass
