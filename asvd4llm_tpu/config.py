@@ -51,6 +51,10 @@ class ASVDConfig:
     seed: int = 233
     use_bos: bool = False
     seqlen: int = 2048
+    # the reference's alpaca chat template escapes its placeholders (ref
+    # datautils.py:84-89,134), rendering every sample as the same literal
+    # string; False replicates that, True substitutes for real
+    fixed_alpaca_template: bool = False
     # -- quantization --
     weight_quant: str = "none"
     # convert low-rank factors to REAL int8 codes after compression (serve
@@ -129,7 +133,7 @@ class ASVDConfig:
     CALIB_FIELDS = (
         "model_id", "calib_dataset", "n_calib_samples", "scaling_method",
         "seed", "use_bos", "seqlen", "compress_all_linears",
-        "fisher_double_shift",
+        "fisher_double_shift", "fixed_alpaca_template",
     )
     # Fields that determine the sensitivity dict (ref sensitivity.py:13).
     # svd_backend is included because exact vs randomized SVD yields

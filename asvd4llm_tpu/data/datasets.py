@@ -26,7 +26,19 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_CHAT_FORMAT = (
+# The reference's llama_chat_format (ref datautils.py:84-89) double-braces
+# the placeholders, so its `.format(instruction=..., response=...)` call
+# ESCAPES them instead of substituting: every alpaca calib sample renders
+# to the same literal "{ instruction } [/INST] { response }" string. That
+# quirk is the reference's actual calibration input, so it is the default
+# here (parity); fixed_alpaca_template=True substitutes for real.
+_CHAT_FORMAT_REF = (
+    "<s>[INST] <<SYS>>\n"
+    '"Below is an instruction that describes a task. '
+    'Write a response that appropriately completes the request."\n'
+    "<</SYS>>\n\n{{ instruction }} [/INST] {{ response }} </s>\n"
+)
+_CHAT_FORMAT_FIXED = (
     "<s>[INST] <<SYS>>\n"
     '"Below is an instruction that describes a task. '
     'Write a response that appropriately completes the request."\n'
@@ -103,13 +115,17 @@ def get_calib_data(name: str, tokenizer, model_id: str, nsamples: int,
                    seqlen: int = 2048, seed: int = 3, use_bos: bool = False,
                    cache_dir: str = "cache", use_cache: bool = True,
                    vocab_size: Optional[int] = None,
-                   allow_synthetic_fallback: bool = False) -> list[dict]:
+                   allow_synthetic_fallback: bool = False,
+                   fixed_alpaca_template: bool = False) -> list[dict]:
     """Returns a list of {"input_ids": [1, L] np.int64, "attention_mask"} —
     the reference's loader contract (ref datautils.py:106-160)."""
     os.makedirs(cache_dir, exist_ok=True)
+    fixed_tag = "_fixedtpl" if (name == "alpaca" and fixed_alpaca_template) \
+        else ""
     cache_file = os.path.join(
         cache_dir,
-        f"{name}_{model_id.replace('/', '_')}_{nsamples}_{seqlen}_{seed}_bos{use_bos}.npz")
+        f"{name}_{model_id.replace('/', '_')}_{nsamples}_{seqlen}_{seed}"
+        f"_bos{use_bos}{fixed_tag}.npz")
     if use_cache and os.path.exists(cache_file):
         z = np.load(cache_file)
         return [{"input_ids": z[f"ids_{i}"],
@@ -127,15 +143,20 @@ def get_calib_data(name: str, tokenizer, model_id: str, nsamples: int,
             i = rng.randint(0, len(corpus) - seqlen - 1)
             samples.append(corpus[i:i + seqlen][None, :])
     elif name == "alpaca":
-        # chat-format path (ref datautils.py:126-139)
+        # chat-format path (ref datautils.py:126-139). Reference semantics
+        # replicated exactly: sample nsamples rows from the FULL list and
+        # only then keep the input=="" ones (so the result may hold fewer
+        # than nsamples), and render the escaped-brace template (see
+        # _CHAT_FORMAT_REF above).
         import json
         with open("data/alpaca_data.json") as f:
             data = json.load(f)
-        chosen = rng.sample([d for d in data if d.get("input", "") == ""],
-                            nsamples)
-        for ex in chosen:
-            s = _CHAT_FORMAT.format(instruction=ex["instruction"],
-                                    response=ex["output"])
+        fmt = _CHAT_FORMAT_FIXED if fixed_alpaca_template else _CHAT_FORMAT_REF
+        for ex in rng.sample(data, nsamples):
+            if ex.get("input", "") != "":
+                continue
+            s = fmt.format(instruction=ex["instruction"],
+                           response=ex["output"])
             ids = np.asarray(tokenizer(s)["input_ids"])[None, :seqlen]
             samples.append(ids)
     else:

@@ -61,7 +61,8 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
                 use_bos=cfg.use_bos, cache_dir=cfg.cache_dir,
                 use_cache=cfg.use_cache,
                 vocab_size=vocab_size or spec.vocab_size,
-                allow_synthetic_fallback=allow_synthetic_fallback)
+                allow_synthetic_fallback=allow_synthetic_fallback,
+                fixed_alpaca_template=cfg.fixed_alpaca_template)
 
     fisher = None
     stats = None

@@ -47,7 +47,14 @@ def test_pad_mask_matches_torch_attention_mask(tiny):
 
 
 def test_alpaca_calib_loader(tmp_path, monkeypatch):
-    """Chat-format calibration path (ref datautils.py:126-139)."""
+    """Chat-format calibration path, reference-exact semantics (ref
+    datautils.py:126-139): rows are sampled from the FULL list and only
+    then filtered to input=="" (may yield < nsamples), and the template's
+    double-braced placeholders are ESCAPED by .format, so every sample is
+    the same literal string. fixed_alpaca_template=True substitutes for
+    real."""
+    import random as pyrandom
+
     from asvd4llm_tpu.data.datasets import get_calib_data
 
     data = [{"instruction": f"Do thing {i}", "input": "",
@@ -61,14 +68,81 @@ def test_alpaca_calib_loader(tmp_path, monkeypatch):
 
     class Tok:
         def __call__(self, s):
-            return {"input_ids": [2 + (ord(c) % 100) for c in s][:64]}
+            return {"input_ids": [2 + (ord(c) % 100) for c in s]}
 
-    loader = get_calib_data("alpaca", Tok(), "m", 3, seqlen=64,
+    loader = get_calib_data("alpaca", Tok(), "m", 5, seqlen=64, seed=3,
                             cache_dir=str(tmp_path / "cache"))
-    assert len(loader) == 3
+    expect = [d for d in pyrandom.Random(3).sample(data, 5)
+              if d.get("input", "") == ""]
+    assert len(loader) == len(expect) > 0
     for b in loader:
         assert b["input_ids"].shape[0] == 1
         assert b["input_ids"].shape[1] <= 64
+        # escaped-brace quirk: every sample renders identically
+        assert (b["input_ids"] == loader[0]["input_ids"]).all()
+
+    # seqlen large enough that the substituted instruction (which sits
+    # after the ~130-char fixed preamble) survives truncation
+    fixed = get_calib_data("alpaca", Tok(), "m-fixed", 5, seqlen=256, seed=3,
+                           cache_dir=str(tmp_path / "cache"),
+                           fixed_alpaca_template=True)
+    assert len(fixed) == len(expect)
+    assert any((b["input_ids"].shape != fixed[0]["input_ids"].shape)
+               or (b["input_ids"] != fixed[0]["input_ids"]).any()
+               for b in fixed[1:])
+
+
+def test_alpaca_calib_differential_vs_reference(tmp_path, monkeypatch):
+    """Side-by-side with the reference's own loader (ref
+    datautils.py:126-139) on a synthetic alpaca_data.json: identical
+    sampled rows, identical (escaped-template) strings, identical token
+    batches."""
+    import random as pyrandom
+
+    from asvd4llm_tpu.data.datasets import get_calib_data
+    from asvd4llm_tpu.tools.differential import (
+        REFERENCE_PATH, reference_available,
+    )
+
+    if not reference_available():
+        import pytest
+        pytest.skip("reference tree unavailable")
+    import sys
+
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import datautils as ref_data
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+
+    data = [{"instruction": f"Task number {i} with text", "input": "",
+             "output": f"Answer {i}"} for i in range(9)]
+    data.insert(2, {"instruction": "filtered", "input": "ctx", "output": "y"})
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    with open(tmp_path / "data" / "alpaca_data.json", "w") as f:
+        json.dump(data, f)
+    monkeypatch.chdir(tmp_path)
+
+    class Tok:
+        def __call__(self, s, return_tensors=None):
+            ids = [2 + (ord(c) % 113) for c in s]
+            if return_tensors == "pt":
+                import torch
+                from types import SimpleNamespace
+                return SimpleNamespace(input_ids=torch.tensor([ids]))
+            return {"input_ids": ids}
+
+    # the reference samples with the GLOBAL random module (its seed arg
+    # only keys the cache file); seed it to match our seeded rng
+    pyrandom.seed(11)
+    ref_batches = ref_data.get_calib_data("alpaca", Tok(), "m", 6,
+                                          seqlen=64, seed=11)
+    ours = get_calib_data("alpaca", Tok(), "m", 6, seqlen=64, seed=11,
+                          cache_dir=str(tmp_path / "cache"),
+                          use_cache=False)
+    assert len(ours) == len(ref_batches) > 0
+    for ob, rb in zip(ours, ref_batches):
+        assert (ob["input_ids"] == rb["input_ids"].numpy()).all()
 
 
 def test_use_bos_pipeline_evaluate(tiny, tmp_path):
