@@ -232,8 +232,9 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
         # slower, which is why q4 measured no faster than dense); scale /
         # zero corrections stay f32 on the [M, R] partials
         pk = bq_ref[:]                           # [R, half] uint8
-        lo = (pk & 15).astype(io_dtype)
-        hi = ((pk >> 4) & 15).astype(io_dtype)
+        # Mosaic has no uint8 -> bf16 cast; hop through int32 (0..15 exact)
+        lo = (pk & 15).astype(jnp.int32).astype(io_dtype)
+        hi = ((pk >> 4) & 15).astype(jnp.int32).astype(io_dtype)
         for k in range(col_tile // group):       # static unroll (<=4)
             nib = lo if k < ngh else hi
             codes = nib[:, (k % ngh) * group:(k % ngh + 1) * group]
@@ -251,8 +252,8 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
     @pl.when(g >= nk)
     def _():
         pk = aq_ref[:]                           # [TN, Rp/2] uint8
-        lo = (pk & 15).astype(io_dtype)
-        hi = ((pk >> 4) & 15).astype(io_dtype)
+        lo = (pk & 15).astype(jnp.int32).astype(io_dtype)
+        hi = ((pk >> 4) & 15).astype(jnp.int32).astype(io_dtype)
         R = t_acc.shape[1]
         t_b = t_acc[:].astype(io_dtype)          # one cast, dots in bf16
         y_acc[:] = jnp.broadcast_to(bias_ref[:].astype(jnp.float32),
