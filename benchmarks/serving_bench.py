@@ -55,6 +55,8 @@ def _engine_run(params, spec, prompts, *, latent, use_pallas, num_pages,
     for slot, S in enumerate(prompts):
         req = _Request(rid=slot, prompt=np.zeros((S,), np.int32),
                        max_new_tokens=MAX_NEW)
+        req.filled = S   # pre-filled: the r3 engine only decodes slots
+        # whose prompt is fully cached (filled >= len(prompt))
         n = pages_needed(S, PAGE)
         req.pages = eng._alloc(n)
         req.slot = slot
