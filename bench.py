@@ -279,6 +279,16 @@ def _artifact_summary():
     except Exception:
         pass
     try:
+        d = _load_first(base, "differential_production_r3.json")
+        out["differential_production"] = {
+            "parity": d["parity"],
+            "shapes": d["shapes"],
+            "rank_align": d["rank_align"],
+            "ref_ppl": d["ref_ppl"], "our_ppl": d["our_ppl"],
+        }
+    except Exception:
+        pass
+    try:
         d = _load_first(base, "svd_accuracy_r3.json")["runs"]
         out["svd_accuracy"] = {
             "gram_head_excess_over_optimal":
