@@ -231,10 +231,12 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
         # fast bf16 mode (the round-2 kernel's f32-input dots ran it 4-8x
         # slower, which is why q4 measured no faster than dense); scale /
         # zero corrections stay f32 on the [M, R] partials
-        pk = bq_ref[:]                           # [R, half] uint8
-        # Mosaic has no uint8 -> bf16 cast; hop through int32 (0..15 exact)
-        lo = (pk & 15).astype(jnp.int32).astype(io_dtype)
-        hi = ((pk >> 4) & 15).astype(jnp.int32).astype(io_dtype)
+        # Mosaic has neither uint8->bf16 casts nor i8-vector shifts
+        # (arith.shrui on vector<i8> fails to legalize): widen to int32
+        # FIRST, then shift/mask/cast — all exact for 4-bit codes.
+        pk = bq_ref[:].astype(jnp.int32)         # [R, half] uint8 -> i32
+        lo = (pk & 15).astype(io_dtype)
+        hi = ((pk >> 4) & 15).astype(io_dtype)
         for k in range(col_tile // group):       # static unroll (<=4)
             nib = lo if k < ngh else hi
             codes = nib[:, (k % ngh) * group:(k % ngh + 1) * group]
@@ -251,9 +253,9 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
 
     @pl.when(g >= nk)
     def _():
-        pk = aq_ref[:]                           # [TN, Rp/2] uint8
-        lo = (pk & 15).astype(jnp.int32).astype(io_dtype)
-        hi = ((pk >> 4) & 15).astype(jnp.int32).astype(io_dtype)
+        pk = aq_ref[:].astype(jnp.int32)         # [TN, Rp/2] uint8 -> i32
+        lo = (pk & 15).astype(io_dtype)
+        hi = ((pk >> 4) & 15).astype(io_dtype)
         R = t_acc.shape[1]
         t_b = t_acc[:].astype(io_dtype)          # one cast, dots in bf16
         y_acc[:] = jnp.broadcast_to(bias_ref[:].astype(jnp.float32),
