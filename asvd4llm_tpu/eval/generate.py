@@ -32,8 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from asvd4llm_tpu.models.decoder import (
-    _activation, apply_lm_head, apply_norm, apply_rope, forward_hidden,
-    rope_cos_sin,
+    _activation, apply_lm_head, apply_norm, apply_rope, attn_precision,
+    forward_hidden, rope_cos_sin,
 )
 from asvd4llm_tpu.models.registry import is_lowrank
 from asvd4llm_tpu.ops.lowrank import dense_apply, lowrank_apply
@@ -129,7 +129,7 @@ def _gqa_probs(q0, k, rep, scale, softcap, mask_t):
     qg = q0.reshape(B, KV, rep, hd)
     logits = jnp.einsum("bgrd,bkgd->bgrk", qg, k,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST) * scale
+                        precision=attn_precision(qg.dtype)) * scale
     if softcap > 0:
         logits = softcap * jnp.tanh(logits / softcap)
     mask = mask_t[None, None, None, :] if mask_t.ndim == 1 \
@@ -144,11 +144,11 @@ def _absorbed_v_out(probs, tv, v_leaf, KV, hd, rep, x_dtype):
     B = probs.shape[0]
     s = jnp.einsum("bgrk,bkv->bgrv", probs.astype(tv.dtype), tv,
                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=attn_precision(tv.dtype))
     a_v = v_leaf["A"].reshape(KV, hd, -1)                # [KV, hd, Rv]
     out = jnp.einsum("bgrv,gdv->bgrd", s.astype(a_v.dtype), a_v,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=attn_precision(a_v.dtype))
     if v_leaf["b"] is not None:
         # bias contributes sum(probs) * b = 1 * b after softmax
         vb = v_leaf["b"].reshape(KV, hd).astype(jnp.float32)
@@ -246,7 +246,7 @@ def _attend_step(spec, layer, x, cache, pos, cos_full, sin_full, layer_idx,
                            mask_t)
         out = jnp.einsum("bgrk,bkgd->bgrd", probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=attn_precision(v.dtype))
         out = out.astype(x.dtype).reshape(B, 1, H * hd)
 
     o_key = "o_proj" if "o_proj" in layer else "out_proj"

@@ -130,12 +130,17 @@ def _softcap(x, cap):
 
 # ------------------------------------------------------------ attention ---
 
-# f32 attention dots run at TRUE f32: jax's default matmul precision
-# executes f32 contractions in reduced (bf16-class) precision on both TPU
-# and the oneDNN CPU backend — measured ~1e-2 logit noise, enough to flip
-# greedy tokens and blur eval parity. bf16 inputs keep the native MXU path
-# (the precision flag only affects f32 operands).
-_ATTN_PRECISION = jax.lax.Precision.HIGHEST
+def attn_precision(dtype):
+    """Per-operand-dtype attention-dot precision.
+
+    f32 attention dots run at TRUE f32: jax's default matmul precision
+    executes f32 contractions in reduced (bf16-class) precision on both TPU
+    and the oneDNN CPU backend — measured ~1e-2 logit noise, enough to flip
+    greedy tokens and blur eval parity. bf16 operands take DEFAULT: the
+    MXU's native bf16×bf16→f32 path is already exact for bf16 inputs, and
+    pinning HIGHEST on them invites an upcast-and-multipass lowering."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
 
 def _attention(spec, layer, x, layer_idx, cos, sin, mask, *, la, cache=None,
@@ -175,7 +180,7 @@ def _attention(spec, layer, x, layer_idx, cos, sin, mask, *, la, cache=None,
     else:
         logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
                             preferred_element_type=jnp.float32,
-                            precision=_ATTN_PRECISION) * scale
+                            precision=attn_precision(qg.dtype)) * scale
         if spec.attn_logit_softcap > 0:
             logits = _softcap(logits, spec.attn_logit_softcap)
         logits = logits + mask[:, :, None]  # mask: [1|B, 1, Sq, Sk]
@@ -183,7 +188,7 @@ def _attention(spec, layer, x, layer_idx, cos, sin, mask, *, la, cache=None,
                                axis=-1).astype(v.dtype)
         out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
                          preferred_element_type=jnp.float32,
-                         precision=_ATTN_PRECISION).astype(x.dtype)
+                         precision=attn_precision(v.dtype)).astype(x.dtype)
         out = out.reshape(B, S, H * hd)
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
     return la(layer[o_key], out), new_entry
@@ -226,7 +231,7 @@ def _attention_blocked(spec, qg, k, v, mask, scale):
         kb, vb, mb = blk
         logits = jnp.einsum("bqgrd,bcgd->bgrqc", qg, kb,
                             preferred_element_type=jnp.float32,
-                            precision=_ATTN_PRECISION) * scale
+                            precision=attn_precision(qg.dtype)) * scale
         if spec.attn_logit_softcap > 0:
             logits = _softcap(logits, spec.attn_logit_softcap)
         logits = logits + mb[:, :, None]          # [B, g, r, S, C]
@@ -237,7 +242,7 @@ def _attention_blocked(spec, qg, k, v, mask, scale):
         acc = acc * corr[..., None] + jnp.einsum(
             "bgrqc,bcgd->bgrqd", p.astype(vb.dtype), vb,
             preferred_element_type=jnp.float32,
-            precision=_ATTN_PRECISION)
+            precision=attn_precision(vb.dtype))
         return (m_new, l, acc), None
 
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (kb, vb, mb))

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from asvd4llm_tpu.models.decoder import (
     _activation, _causal_mask, apply_lm_head, apply_norm, apply_rope,
-    rope_cos_sin,
+    attn_precision, rope_cos_sin,
 )
 from asvd4llm_tpu.models.registry import is_lowrank, layer_linear_keys
 from asvd4llm_tpu.ops.lowrank import dense_apply
@@ -105,7 +105,7 @@ def _attention_scan(spec, layer, x, cos, sin, mask):
     else:
         logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST) * scale
+                            precision=attn_precision(qg.dtype)) * scale
         if spec.attn_logit_softcap > 0:
             logits = spec.attn_logit_softcap * jnp.tanh(
                 logits / spec.attn_logit_softcap)
@@ -113,7 +113,7 @@ def _attention_scan(spec, layer, x, cos, sin, mask):
                                axis=-1).astype(v.dtype)
         out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+                         precision=attn_precision(v.dtype)).astype(x.dtype)
         out = out.reshape(B, S, H * hd)
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
     return dense_apply(out, layer[o_key]["w"], layer[o_key]["b"])

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from asvd4llm_tpu.serving.paged import (
-    init_paged_pools, paged_append_batch, paged_decode_scan,
+    init_paged_pools, paged_append_batch_select, paged_decode_scan,
     paged_decode_step, pages_needed, prefill_into_pages,
     sample_rows_keyed_jit,
 )
@@ -187,29 +187,35 @@ class PagedEngine:
         ids = np.zeros((MB, C), np.int32)
         pt = np.zeros((MB, self.page_table.shape[1]), np.int32)
         pos0 = np.zeros((MB,), np.int32)
+        # requests whose prompt completes in THIS segment need next-token
+        # logits; gather just those (row, in-chunk index) pairs on device —
+        # the head never computes (let alone ships to the host) the full
+        # [MB, C, vocab] logits. rows/cols are fixed-shape [MB] (padded
+        # entries gather (0, 0) and are ignored).
+        rows = np.zeros((MB,), np.int32)
+        cols = np.zeros((MB,), np.int32)
+        finishing = []
         for req in filling:
             c0 = req.filled
             seg = req.prompt[c0:c0 + C]
             ids[req.slot, :len(seg)] = seg
             pt[req.slot, :len(req.pages)] = req.pages
             pos0[req.slot] = c0
-        logits, self.pools = paged_append_batch(
+            if len(req.prompt) - c0 <= C:
+                rows[len(finishing)] = req.slot
+                cols[len(finishing)] = len(req.prompt) - 1 - c0
+                finishing.append(req)
+        logits, self.pools = paged_append_batch_select(
             self.params, self.spec, jnp.asarray(ids), self.pools,
-            jnp.asarray(pt), jnp.asarray(pos0))
-        jax.block_until_ready(logits)
+            jnp.asarray(pt), jnp.asarray(pos0), jnp.asarray(rows),
+            jnp.asarray(cols))
+        sel_np = np.asarray(logits)               # [MB, vocab] small fetch
         self.phase_s["prefill"] += time.perf_counter() - t0
-        logits_np = None
         for req in filling:
-            c0 = req.filled
-            take = min(C, len(req.prompt) - c0)
-            req.filled += take
-            if req.decoding:
-                if logits_np is None:
-                    logits_np = np.asarray(logits)
-                last = len(req.prompt) - 1 - c0   # index inside this chunk
-                self._start_decode(
-                    req, self._pick(logits_np[req.slot, last], req.rid,
-                                    len(req.prompt)))
+            req.filled += min(C, len(req.prompt) - req.filled)
+        for i, req in enumerate(finishing):
+            self._start_decode(req, self._pick(sel_np[i], req.rid,
+                                               len(req.prompt)))
 
     def _finished(self, req: _Request) -> bool:
         if len(req.tokens) >= req.max_new_tokens:

@@ -38,7 +38,9 @@ from asvd4llm_tpu.eval.generate import (
     _absorbed_v_out, _apply_leaf, _decode_layer, _gqa_probs, _latent, _up_k,
     init_caches, layer_uses_latent_kv, layer_uses_latent_v, prefill_host,
 )
-from asvd4llm_tpu.models.decoder import apply_lm_head, apply_norm, apply_rope, rope_cos_sin
+from asvd4llm_tpu.models.decoder import (
+    apply_lm_head, apply_norm, apply_rope, attn_precision, rope_cos_sin,
+)
 
 
 def pages_needed(n_tokens: int, page_size: int) -> int:
@@ -198,7 +200,7 @@ def _paged_attend(spec, layer, x, cache, positions, cos_full, sin_full,
                            mask_bt)
         out = jnp.einsum("bgrk,bkgd->bgrd", probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=attn_precision(v.dtype))
         out = out.astype(x.dtype).reshape(B, 1, H * hd)
 
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
@@ -380,7 +382,7 @@ def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
         qg = q.reshape(B, C, KV, rep, hd)
         logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST) * scale
+                            precision=attn_precision(qg.dtype)) * scale
         if spec.attn_logit_softcap > 0:
             logits = spec.attn_logit_softcap * jnp.tanh(
                 logits / spec.attn_logit_softcap)
@@ -402,11 +404,11 @@ def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
         probs = probs_of(k)
         s = jnp.einsum("bgrqk,bkv->bgrqv", probs.astype(tv.dtype), tv,
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=attn_precision(tv.dtype))
         a_v = layer["v_proj"]["A"].reshape(KV, hd, -1)
         out = jnp.einsum("bgrqv,gdv->bqgrd", s.astype(a_v.dtype), a_v,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=attn_precision(a_v.dtype))
         if layer["v_proj"]["b"] is not None:
             vb = layer["v_proj"]["b"].reshape(KV, hd).astype(jnp.float32)
             out = out + vb[None, None, :, None, :]
@@ -424,11 +426,11 @@ def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
             probs = probs_of(_flat_view(k_pool, pt))
             s = jnp.einsum("bgrqk,bkv->bgrqv", probs.astype(tv.dtype), tv,
                            preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=attn_precision(tv.dtype))
             a_v = layer["v_proj"]["A"].reshape(KV, hd, -1)
             out = jnp.einsum("bgrqv,gdv->bqgrd", s.astype(a_v.dtype), a_v,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=attn_precision(a_v.dtype))
             if layer["v_proj"]["b"] is not None:
                 vb = layer["v_proj"]["b"].reshape(KV, hd
                                                   ).astype(jnp.float32)
@@ -443,7 +445,7 @@ def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
             probs = probs_of(_flat_view(k_pool, pt))
             out = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(v.dtype), v,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=attn_precision(v.dtype))
             out = out.astype(x.dtype).reshape(B, C, H * hd)
 
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
@@ -451,19 +453,11 @@ def _append_attend(spec, layer, x, cache, pos0, cos_full, sin_full,
         {"pools": new_pools, "pt": pt}
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def paged_append_batch(params, spec, ids, pools, page_table, pos0):
-    """Append C-token segments of B sequences to their paged caches in ONE
-    dispatch and return (logits [B, C, vocab], new pools).
-
-    ids [B, C]; page_table [B, MP] (rows of padded/inactive requests all
-    zeros -> scratch); pos0 [B] per-row absolute start positions.
-
-    The chunked-prefill building block: admission processes every waiting
-    prompt's next segment together, so serving compiles ONE append program
-    (shapes fixed by (B, C, row width)) instead of one prefill per novel
-    prompt length — and decode chunks interleave between segment
-    dispatches instead of stalling behind whole prompts."""
+def _append_hidden(params, spec, ids, pools, page_table, pos0):
+    """Shared body of the batched paged append: write every row's C-token
+    segment into its pages and return the final hidden states
+    ([B, C, hidden], new pools) — the lm_head is applied by the wrappers
+    (on everything, or on gathered rows only)."""
     x = params["embed_tokens"][ids]
     if spec.embed_scale != 1.0:
         x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
@@ -490,7 +484,46 @@ def paged_append_batch(params, spec, ids, pools, page_table, pos0):
         x = apply_norm(spec, params["final_norm"], x)
     if params.get("project_out") is not None:
         x = _apply_leaf(params["project_out"], x)
+    return x, new_pools
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def paged_append_batch(params, spec, ids, pools, page_table, pos0):
+    """Append C-token segments of B sequences to their paged caches in ONE
+    dispatch and return (logits [B, C, vocab], new pools).
+
+    ids [B, C]; page_table [B, MP] (rows of padded/inactive requests all
+    zeros -> scratch); pos0 [B] per-row absolute start positions.
+
+    The chunked-prefill building block: admission processes every waiting
+    prompt's next segment together, so serving compiles ONE append program
+    (shapes fixed by (B, C, row width)) instead of one prefill per novel
+    prompt length — and decode chunks interleave between segment
+    dispatches instead of stalling behind whole prompts."""
+    x, new_pools = _append_hidden(params, spec, ids, pools, page_table,
+                                  pos0)
     return apply_lm_head(params, spec, x), new_pools
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def paged_append_batch_select(params, spec, ids, pools, page_table, pos0,
+                              rows, cols):
+    """paged_append_batch, but the lm_head runs ONLY on the gathered
+    (rows[i], cols[i]) hidden states — returns (logits [K, vocab], pools).
+
+    The engine's admission tick needs next-token logits only for requests
+    whose prompt COMPLETES in this segment (usually none). The full-head
+    wrapper computes and materializes [B, C, vocab] logits every tick
+    (B=8, C=256 at 7B dims: a ~2-TFLOP head GEMM plus a 0.5-GB logits
+    buffer, fetched at ~262 MB to the host over the axon tunnel when any
+    request finishes). Gathering first makes the tick's head cost
+    O(K·hidden·vocab) with a [K, vocab] fetch. Padded entries of
+    rows/cols gather (0, 0) and are ignored host-side."""
+    x, new_pools = _append_hidden(params, spec, ids, pools, page_table,
+                                  pos0)
+    h = x[rows, cols]                             # [K, hidden]
+    logits = apply_lm_head(params, spec, h[:, None])[:, 0]
+    return logits, new_pools
 
 
 def paged_append(params, spec, ids, pools, page_table_row, pos0):
