@@ -40,6 +40,60 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+def _group_chunk(KV: int) -> int:
+    """KV-head groups folded into one cross-dot (see _qk_group_logits)."""
+    return min(KV, 8)
+
+
+def _qk_group_logits(q, k_flat, KV, rep, hd, TT):
+    """Per-KV-group q·K logits via CHUNKED CROSS-DOTS.
+
+    The obvious per-group loop runs KV separate [rep, hd] x [TT, hd] dots —
+    at GQA rep=4 each is an M=4 MXU dot, pure latency (measured: the tile
+    loop of small dots, not bandwidth, dominated every kernel variant at
+    ~7x off the HBM roofline). Instead, fold gc groups into ONE
+    [gc*rep, hd] x [gc*TT, hd] dot — gc x redundant FLOPs (heads of group i
+    also score keys of group j) but the MXU is idle anyway and one big dot
+    replaces gc small ones — then slice out the diagonal [rep, TT] blocks.
+
+    q [H, hd] f32; k_flat [TT, KV*hd] f32 -> logits [H, TT] f32."""
+    gc = _group_chunk(KV)
+    blocks = []
+    for c0 in range(0, KV, gc):
+        qc = q[c0 * rep:(c0 + gc) * rep, :]              # [gc*rep, hd]
+        # keys of groups c0..c0+gc stacked along rows: [gc*TT, hd]
+        kc = jnp.concatenate(
+            [k_flat[:, (c0 + j) * hd:(c0 + j + 1) * hd]
+             for j in range(gc)], axis=0)
+        cross = jax.lax.dot_general(
+            qc, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [gc*rep, gc*TT]
+        for j in range(gc):
+            blocks.append(cross[j * rep:(j + 1) * rep,
+                                j * TT:(j + 1) * TT])    # [rep, TT]
+    return jnp.concatenate(blocks, axis=0)               # [H, TT]
+
+
+def _pv_group_numerator(p, v_flat, KV, rep, hd, TT):
+    """Per-KV-group probs·V numerator via one cross-dot per group chunk
+    (same latency argument as _qk_group_logits).
+
+    p [H, TT]; v_flat [TT, KV*hd] -> s [H, hd]."""
+    gc = _group_chunk(KV)
+    blocks = []
+    for c0 in range(0, KV, gc):
+        pc = p[c0 * rep:(c0 + gc) * rep, :]              # [gc*rep, TT]
+        vc = v_flat[:, c0 * hd:(c0 + gc) * hd]           # [TT, gc*hd]
+        cross = jax.lax.dot_general(
+            pc.astype(v_flat.dtype), vc,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [gc*rep, gc*hd]
+        for j in range(gc):
+            blocks.append(cross[j * rep:(j + 1) * rep,
+                                j * hd:(j + 1) * hd])    # [rep, hd]
+    return jnp.concatenate(blocks, axis=0)               # [H, hd]
+
+
 def _online_tile(q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
                  m_ref, l_ref, s_ref, *, pos, k_pos0, TT, KV, rep, hd,
                  scale, softcap, sliding):
@@ -68,16 +122,10 @@ def _online_tile(q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,
     sin_t = jnp.concatenate([sin_ref[:]] * KV, axis=1)
     k_flat = k_flat * cos_t + k_rot * sin_t
 
-    # 3) q·K per KV group as plain 2D dots
+    # 3) q·K per KV group — chunked cross-dots (one MXU dot per group
+    # chunk instead of KV small M=rep dots; see _qk_group_logits)
     q = q_ref[0].astype(jnp.float32)                     # [H, hd]
-    group_logits = []
-    for g in range(KV):
-        qg = q[g * rep:(g + 1) * rep, :]                 # [rep, hd]
-        kg = k_flat[:, g * hd:(g + 1) * hd]              # [TT, hd]
-        group_logits.append(jax.lax.dot_general(
-            qg, kg, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))         # [rep, TT]
-    logits = jnp.concatenate(group_logits, axis=0) * scale  # [H, TT]
+    logits = _qk_group_logits(q, k_flat, KV, rep, hd, TT) * scale
     if softcap > 0:
         logits = softcap * jnp.tanh(logits / softcap)
 
@@ -244,14 +292,8 @@ def _paged_dense_kernel(pt_ref, pos_ref, q_ref, k_ref, v_ref, out_ref,
     @pl.when(pi * P <= pos)
     def _():
         q = q_ref[0].astype(jnp.float32)                 # [H, hd]
-        group_logits = []
-        for g in range(KV):
-            kg = k_ref[0, :, g, :].astype(jnp.float32)   # [P, hd]
-            qg = q[g * rep:(g + 1) * rep, :]
-            group_logits.append(jax.lax.dot_general(
-                qg, kg, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))     # [rep, P]
-        logits = jnp.concatenate(group_logits, axis=0) * scale
+        k_flat = k_ref[0].astype(jnp.float32).reshape(P, KV * hd)
+        logits = _qk_group_logits(q, k_flat, KV, rep, hd, P) * scale
         if softcap > 0:
             logits = softcap * jnp.tanh(logits / softcap)
         k_pos = pi * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
@@ -273,14 +315,8 @@ def _paged_dense_kernel(pt_ref, pos_ref, q_ref, k_ref, v_ref, out_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
-            tiles = []
-            for g in range(KV):                          # [rep, hd] per g
-                vg = v_ref[0, :, g, :]
-                tiles.append(jax.lax.dot_general(
-                    p[g * rep:(g + 1) * rep].astype(vg.dtype), vg,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            s_tile = jnp.concatenate(tiles, axis=0)      # [H, hd]
+            v_flat = v_ref[0].reshape(P, KV * hd)
+            s_tile = _pv_group_numerator(p, v_flat, KV, rep, hd, P)
         s_ref[:] = s_ref[:] * corr[:, None] + s_tile
 
     @pl.when(pi == nP - 1)
