@@ -206,18 +206,27 @@ def _fused_2d_q8(x, a8, asc, azp, b8, bsc, bzp, bias, *, tk=512, tn=512,
 
 
 def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
-               bias_ref, y_ref, t_acc, y_acc, *, nk, nn, group, col_tile):
+               bias_ref, y_ref, t_acc, *, nk, nn, group, pack_tile):
     """Int4-factor variant. Codes are 4-bit, packed 2/byte with the
     tile-aware split-half layout (ops/quant.py pack_int4): unpacking a
     tile's low/high nibbles yields two CONTIGUOUS half-tiles, so no lane
-    interleave is needed. Per-(row, group) scales are applied OUTSIDE the
-    dot: for group g,
-        y_g = (x_g @ codes_g.T) * scale[:, g] - sum(x_g) ⊗ zero_scale[:, g]
-    — the MXU multiplies raw codes and the VPU applies two rank-1
-    corrections, which is exactly the algebra of asymmetric dequant."""
+    interleave is needed.
+
+    Each tile is dequantized IN VMEM on the VPU (codes*scale - zero_scale,
+    identical arithmetic to the XLA dequant oracle) and the MXU then runs
+    ONE io-dtype dot per tile. Earlier revisions applied the group scales
+    as post-dot rank-1 corrections, which forced one MXU dot PER 128-wide
+    group — ~440 latency-bound small dots at 7B MLP shapes, measuring
+    SLOWER than dense (0.66x) despite 1/4 the HBM bytes. The per-tile
+    dequant is ~1M VPU ops per tile (tens of microseconds across the whole
+    op) and restores the single-dot MXU shape of the bf16 kernel.
+
+    Mosaic note: there is no uint8->bf16 cast and no i8-vector shift
+    (arith.shrui on vector<i8> fails to legalize) — widen packed bytes to
+    int32 FIRST, then shift/mask/cast; all exact for 4-bit codes."""
     g = pl.program_id(0)
-    half = col_tile // 2
-    ngh = half // group            # groups per nibble-half per tile
+    half = pack_tile // 2          # nibble-half width at PACK time (the
+    ngh = half // group            # K/N grid tiles may span several)
 
     @pl.when(g == 0)
     def _():
@@ -225,56 +234,61 @@ def _q4_kernel(x_ref, bq_ref, bs_ref, bzs_ref, aq_ref, as_ref, azs_ref,
 
     io_dtype = y_ref.dtype
 
+    # dequant arithmetic dtype: bf16 io runs the VPU in bf16 (2x lane
+    # throughput; codes 0..15 are exact in bf16 and scale rounding is far
+    # below the 4-bit quantization noise); f32 io keeps exact f32 math so
+    # the interpret-mode oracle tests match bit-for-bit
+    dq_dtype = jnp.float32 if io_dtype == jnp.float32 else io_dtype
+
     @pl.when(g < nk)
     def _():
-        # raw 4-bit codes are exact in bf16 — the dots run the MXU in its
-        # fast bf16 mode (the round-2 kernel's f32-input dots ran it 4-8x
-        # slower, which is why q4 measured no faster than dense); scale /
-        # zero corrections stay f32 on the [M, R] partials
-        # Mosaic has neither uint8->bf16 casts nor i8-vector shifts
-        # (arith.shrui on vector<i8> fails to legalize): widen to int32
-        # FIRST, then shift/mask/cast — all exact for 4-bit codes.
-        pk = bq_ref[:].astype(jnp.int32)         # [R, half] uint8 -> i32
-        lo = (pk & 15).astype(io_dtype)
-        hi = ((pk >> 4) & 15).astype(io_dtype)
-        for k in range(col_tile // group):       # static unroll (<=4)
-            nib = lo if k < ngh else hi
-            codes = nib[:, (k % ngh) * group:(k % ngh + 1) * group]
-            xg = x_ref[:, k * group:(k + 1) * group]
-            partial = jax.lax.dot_general(
-                xg, codes,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        # the K-tile may span several pack tiles (tk a multiple of the
+        # pack col_tile): packed cols [pt*half, (pt+1)*half) hold pack
+        # tile pt's lo/hi nibbles
+        pk = bq_ref[:].astype(jnp.int32)         # [R, tk/2] u8 zero-extend
+        lo = (pk & 15).astype(dq_dtype)
+        hi = (pk >> 4).astype(dq_dtype)          # u8 source: already 0..15
+        parts = []
+        for k in range(pk.shape[1] * 2 // group):    # static unroll
+            pt = (k * group) // pack_tile
+            j = k % (pack_tile // group)
+            nib = lo if j < ngh else hi
+            c0 = pt * half + (j % ngh) * group
+            codes = nib[:, c0:c0 + group]
             # B scales ride in the [nk, 8-padded group, R] tile layout
-            # (Mosaic rejects an (R, tk/group) block: tk/group < 8 lanes)
-            t_acc[:] += partial * bs_ref[0, k, :][None, :] \
-                - xs * bzs_ref[0, k, :][None, :]
+            # (Mosaic rejects an (R, tk/group) block when tk/group < 8
+            # lanes); reshape in f32 BEFORE the cast (Mosaic only supports
+            # minor-dim insertion on 32-bit types)
+            parts.append(codes * bs_ref[0, k, :][:, None].astype(dq_dtype)
+                         - bzs_ref[0, k, :][:, None].astype(dq_dtype))
+        dq = jnp.concatenate(parts, axis=1).astype(io_dtype)   # [R, tk]
+        t_acc[:] += jax.lax.dot_general(
+            x_ref[:], dq,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(g >= nk)
     def _():
-        pk = aq_ref[:].astype(jnp.int32)         # [TN, Rp/2] uint8 -> i32
-        lo = (pk & 15).astype(io_dtype)
-        hi = ((pk >> 4) & 15).astype(io_dtype)
+        pk = aq_ref[:].astype(jnp.int32)         # [TN, Rp/2] u8 zero-extend
+        lo = (pk & 15).astype(dq_dtype)
+        hi = (pk >> 4).astype(dq_dtype)
         R = t_acc.shape[1]
-        t_b = t_acc[:].astype(io_dtype)          # one cast, dots in bf16
-        y_acc[:] = jnp.broadcast_to(bias_ref[:].astype(jnp.float32),
-                                    y_acc.shape)
+        parts = []
         for g2 in range(R // group):             # static unroll
-            t_idx = (g2 * group) // col_tile
-            j = g2 % (col_tile // group)
+            t_idx = (g2 * group) // pack_tile
+            j = g2 % (pack_tile // group)
             nib = lo if j < ngh else hi
             c0 = t_idx * half + (j % ngh) * group
             codes = nib[:, c0:c0 + group]        # [TN, group]
-            tg = t_b[:, g2 * group:(g2 + 1) * group]
-            partial = jax.lax.dot_general(
-                tg, codes,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y_acc[:] += partial * as_ref[:, g2][None, :] \
-                - jnp.sum(tg.astype(jnp.float32), axis=1,
-                          keepdims=True) * azs_ref[:, g2][None, :]
-        y_ref[:] = y_acc[:].astype(y_ref.dtype)
+            parts.append(codes * as_ref[:, g2][:, None].astype(dq_dtype)
+                         - azs_ref[:, g2][:, None].astype(dq_dtype))
+        dq = jnp.concatenate(parts, axis=1).astype(io_dtype)   # [TN, R]
+        t_b = t_acc[:].astype(io_dtype)          # one cast, dot in bf16
+        y = jax.lax.dot_general(
+            t_b, dq,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y_ref[:] = (y + bias_ref[:].astype(jnp.float32)).astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tk", "tn", "group",
@@ -283,7 +297,8 @@ def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
                  group=128, interpret=False):
     """x [M,K]; a4 [N, Rp/2] uint8 packed (+ asc/azs [N, Rp/group]);
     b4 [Rp, K/2] packed (+ bsc/bzs [Rp, K/group]); bias [1,N].
-    All pre-padded; tk must equal the col_tile used at pack time."""
+    All pre-padded; tk/tn must be MULTIPLES of the pack col_tile (the
+    kernel resolves the split-half nibble layout per 512-col pack tile)."""
     M, K = x.shape
     N = a4.shape[0]
     R = b4.shape[0]
@@ -302,8 +317,7 @@ def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
 
     grid_spec = pl.GridSpec(
         grid=(nk + nn,),
-        scratch_shapes=[pltpu.VMEM((M, R), jnp.float32),
-                        pltpu.VMEM((M, tn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((M, R), jnp.float32)],
         in_specs=[
             pl.BlockSpec((M, tk), lambda g: (0, jnp.minimum(g, nk - 1)),
                          memory_space=pltpu.VMEM),
@@ -331,7 +345,7 @@ def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
     )
     return pl.pallas_call(
         functools.partial(_q4_kernel, nk=nk, nn=nn, group=group,
-                          col_tile=tk),
+                          pack_tile=512),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -346,13 +360,30 @@ def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
     )(x, b4, bsc3, bzs3, a4, asc, azs, bias)
 
 
+# Tile size was swept on chip (512/1024/2048, chained 7-matmul layer at
+# 7B dims): q4 512 -> 1108 us, 1024 -> 1133, 2048 -> 1363; q8 flat at
+# ~470 us across all three. Bigger tiles only grow the VMEM-resident
+# dequant intermediates, so 512 stays the choice; the q4 kernel is bound
+# by the per-group dequant VPU work itself (see DESIGN.md round 3).
+_MAX_TILE = 512
+
+
+def q4_tiles(K: int, N: int, col_tile: int = 512):
+    """K/N grid tiles (pack-col_tile multiples), capped at _MAX_TILE."""
+    tk = min(_MAX_TILE, _round_up(K, col_tile))
+    tn = min(_MAX_TILE, _round_up(N, col_tile))
+    return tk, tn
+
+
 def fused_lowrank_apply_q4(x, a4, asc, azs, b4, bsc, bzs, bias=None, *,
                            group=128, interpret=False):
     """4-bit-factor fused apply (deployment format of the reference's AWQ
     w4 GEMM path, ref quantization.py:269): y = (x @ dq(B4).T) @ dq(A4).T
     + bias. a4/b4 are pack_int4 layouts quantized by
     quant.quantize_to_int4_grouped at col_tile=512 (K and R already padded
-    to 512 multiples at quantize time; N rows are padded here)."""
+    to 512 multiples at quantize time); K columns / N rows are padded here
+    up to the (larger) kernel tile — padded groups carry zero scales, so
+    they dequantize to exactly 0 and cannot perturb the dots."""
     from asvd4llm_tpu.ops.lowrank import lowrank_apply
     from asvd4llm_tpu.ops.quant import dequantize_int4_grouped
 
@@ -377,17 +408,22 @@ def fused_lowrank_apply_q4(x, a4, asc, azs, b4, bsc, bzs, bias=None, *,
 
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     Mp = _round_up(max(M, sub), sub)
-    tn = 512
+    tk, tn = q4_tiles(Kp, N)
+    Kp2 = _round_up(Kp, tk)
     Np = _round_up(N, tn)
-    x2 = jnp.pad(x.reshape(M, K), ((0, Mp - M), (0, Kp - K)))
+    x2 = jnp.pad(x.reshape(M, K), ((0, Mp - M), (0, Kp2 - K)))
     a4p = jnp.pad(a4, ((0, Np - N), (0, 0)))
     ascp = jnp.pad(asc.astype(jnp.float32), ((0, Np - N), (0, 0)))
     azsp = jnp.pad(azs.astype(jnp.float32), ((0, Np - N), (0, 0)))
+    b4p = jnp.pad(b4, ((0, 0), (0, (Kp2 - Kp) // 2)))
+    bscp = jnp.pad(bsc.astype(jnp.float32),
+                   ((0, 0), (0, (Kp2 - Kp) // group)))
+    bzsp = jnp.pad(bzs.astype(jnp.float32),
+                   ((0, 0), (0, (Kp2 - Kp) // group)))
     biasp = jnp.zeros((1, Np), x.dtype) if bias is None else \
         jnp.pad(bias.astype(x.dtype), (0, Np - N)).reshape(1, Np)
-    y = _fused_2d_q4(x2, a4p, ascp, azsp, b4,
-                     bsc.astype(jnp.float32), bzs.astype(jnp.float32),
-                     biasp, tk=512, tn=tn, group=group, interpret=interpret)
+    y = _fused_2d_q4(x2, a4p, ascp, azsp, b4p, bscp, bzsp,
+                     biasp, tk=tk, tn=tn, group=group, interpret=interpret)
     return y[:M, :N].reshape(*lead, N)
 
 
@@ -414,8 +450,10 @@ def fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, bias=None, *,
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     Mp = _round_up(max(M, sub), sub)
     Rp = _round_up(R, 128)
-    tk = min(512, _round_up(K, 128))
-    tn = min(512, _round_up(N, 128))
+    # large tiles: grid-step overhead (~7 us/step measured), not DMA,
+    # bounds the decode-regime kernel at 512 tiles
+    tk = min(_MAX_TILE, _round_up(K, 128))
+    tn = min(_MAX_TILE, _round_up(N, 128))
     Kp = _round_up(K, tk)
     Np = _round_up(N, tn)
 
@@ -461,8 +499,8 @@ def fused_lowrank_apply(x, a, b, bias=None, *, interpret=False,
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     Mp = _round_up(max(M, sub), sub)
     Rp = _round_up(R, 128)
-    tk = min(512, _round_up(K, 128))
-    tn = min(512, _round_up(N, 128))
+    tk = min(_MAX_TILE, _round_up(K, 128))
+    tn = min(_MAX_TILE, _round_up(N, 128))
     Kp = _round_up(K, tk)
     Np = _round_up(N, tn)
 

@@ -183,12 +183,13 @@ def _build_q8_layer():
 def _build_q4_layer():
     """Int4-packed-factor layer using the fused q4 Pallas kernel — the AWQ
     w4 deployment analogue (ref quantization.py:269): 2 codes/byte +
-    per-(row, 128-group) scales, HBM factor traffic QUARTERED vs bf16."""
-    from asvd4llm_tpu.ops.pallas_lowrank import _fused_2d_q4, _round_up
+    per-(row, 128-group) scales, HBM factor traffic QUARTERED vs bf16.
+    Goes through fused_lowrank_apply_q4, which picks large kernel tiles
+    (grid-step overhead, not DMA, bounds the 512-tile kernel) and pads."""
+    from asvd4llm_tpu.ops.pallas_lowrank import fused_lowrank_apply_q4
     from asvd4llm_tpu.ops.quant import quantize_to_int4_grouped
 
     key = jax.random.PRNGKey(0)
-    Hp, Ip = _round_up(H, 512), _round_up(I, 512)
     packs = []
     for out_f, in_f in ATTN_SHAPES + MLP_SHAPES:
         key, k2, k3 = jax.random.split(key, 3)
@@ -198,28 +199,22 @@ def _build_q4_layer():
         a4, asc, azs = quantize_to_int4_grouped(a)
         b4, bsc, bzs = quantize_to_int4_grouped(b)
         Rp = a4.shape[1] * 2
-        np_ = _round_up(out_f, 512)
         packs.append((
-            jnp.pad(a4, ((0, np_ - out_f), (0, 0))),
-            jnp.pad(asc.astype(jnp.float32), ((0, np_ - out_f), (0, 0))),
-            jnp.pad(azs.astype(jnp.float32), ((0, np_ - out_f), (0, 0))),
+            a4, asc, azs,
             jnp.pad(b4, ((0, Rp - r), (0, 0))),
-            jnp.pad(bsc.astype(jnp.float32), ((0, Rp - r), (0, 0))),
-            jnp.pad(bzs.astype(jnp.float32), ((0, Rp - r), (0, 0))),
-            jnp.zeros((1, np_), jnp.bfloat16),
+            jnp.pad(bsc, ((0, Rp - r), (0, 0))),
+            jnp.pad(bzs, ((0, Rp - r), (0, 0))),
         ))
 
-    def layer_q4(ws, x):  # x padded [Mp, Hp]
-        ap = lambda xx, t: _fused_2d_q4(xx, *t, tk=512, tn=512)
-        q = ap(x, ws[0])[:, :Hp]
-        k = ap(x, ws[1])[:, :Hp]
-        v = ap(x, ws[2])[:, :Hp]
-        h = x + ap(q + k + v, ws[3])[:, :Hp]
+    def layer_q4(ws, x):  # x [B, H] bf16 (unpadded; wrapper pads)
+        ap = lambda xx, t: fused_lowrank_apply_q4(xx, *t)
+        q = ap(x, ws[0]); k = ap(x, ws[1]); v = ap(x, ws[2])
+        h = x + ap(q + k + v, ws[3])
         g = jax.nn.silu(ap(h, ws[4]))
         u = ap(h, ws[5])
-        return h + ap((g * u)[:, :Ip], ws[6])[:, :Hp]
+        return h + ap(g * u, ws[6])
 
-    return packs, layer_q4, Hp
+    return packs, layer_q4, H
 
 
 def _load_first(base, *names):
@@ -339,11 +334,8 @@ def main():
         except Exception as e:  # keep the headline metric robust
             print(f"int8 path failed: {e}", file=sys.stderr)
         try:
-            from asvd4llm_tpu.ops.pallas_lowrank import _round_up
-            packs4, layer_q4, Hp = _build_q4_layer()
-            mp = _round_up(BATCH, 16)
-            xp4 = jnp.pad(x, ((0, mp - BATCH), (0, Hp - H)))
-            t_q4 = scan_timer(layer_q4, packs4, xp4)
+            packs4, layer_q4, _ = _build_q4_layer()
+            t_q4 = scan_timer(layer_q4, packs4, x)
         except Exception as e:
             print(f"int4 path failed: {e}", file=sys.stderr)
 
