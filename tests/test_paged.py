@@ -475,3 +475,66 @@ def test_eos_early_retirement(tiny):
     eng.run()
     assert eng.result(r1).tolist() == [first]
     assert len(eng.result(r2)) <= 5 and len(eng.result(r2)) >= 1
+
+
+def test_append_batch_select_matches_full_head(tiny):
+    """paged_append_batch_select's gathered-head logits equal the full
+    head's logits at the same (row, position) pairs (the admission tick's
+    fast path vs the reference semantics)."""
+    import jax
+    from asvd4llm_tpu.serving.paged import (
+        init_paged_pools, paged_append_batch, paged_append_batch_select,
+    )
+
+    params, spec = tiny
+    P, MB, C = 8, 3, 4
+    pools = init_paged_pools(params, spec, 16, P, jnp.float32)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 128, size=(MB, C)), jnp.int32)
+    pt = jnp.asarray([[1, 2, 0, 0], [3, 4, 0, 0], [5, 6, 0, 0]], jnp.int32)
+    pos0 = jnp.asarray([0, 4, 2], jnp.int32)
+    rows = jnp.asarray([0, 2, 0], jnp.int32)
+    cols = jnp.asarray([3, 1, 0], jnp.int32)
+
+    full, pools_a = paged_append_batch(params, spec, ids, pools, pt, pos0)
+    sel, pools_b = paged_append_batch_select(params, spec, ids, pools, pt,
+                                             pos0, rows, cols)
+    want = np.asarray(full)[np.asarray(rows), np.asarray(cols)]
+    np.testing.assert_allclose(np.asarray(sel), want, atol=1e-5, rtol=1e-5)
+    for pa, pb in zip(pools_a, pools_b):
+        for k in pa:
+            np.testing.assert_array_equal(np.asarray(pa[k]),
+                                          np.asarray(pb[k]))
+
+
+def test_group_chunk_helpers_match_per_group_loop():
+    """_qk_group_logits / _pv_group_numerator (the kernels' chunked
+    cross-dot bodies) equal the naive per-group contraction for GQA and
+    MHA geometries."""
+    import jax
+    from asvd4llm_tpu.ops.pallas_latent_attention import (
+        _pv_group_numerator, _qk_group_logits,
+    )
+
+    rng = np.random.RandomState(1)
+    for KV, rep in ((2, 4), (8, 1), (4, 2)):
+        H, hd, TT = KV * rep, 16, 24
+        q = jnp.asarray(rng.randn(H, hd), jnp.float32)
+        k_flat = jnp.asarray(rng.randn(TT, KV * hd), jnp.float32)
+        got = _qk_group_logits(q, k_flat, KV, rep, hd, TT)
+        want = np.concatenate([
+            np.asarray(q)[g * rep:(g + 1) * rep]
+            @ np.asarray(k_flat)[:, g * hd:(g + 1) * hd].T
+            for g in range(KV)], axis=0)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4,
+                                   rtol=1e-5)
+
+        p = jnp.asarray(rng.rand(H, TT), jnp.float32)
+        v_flat = jnp.asarray(rng.randn(TT, KV * hd), jnp.float32)
+        got_s = _pv_group_numerator(p, v_flat, KV, rep, hd, TT)
+        want_s = np.concatenate([
+            np.asarray(p)[g * rep:(g + 1) * rep]
+            @ np.asarray(v_flat)[:, g * hd:(g + 1) * hd]
+            for g in range(KV)], axis=0)
+        np.testing.assert_allclose(np.asarray(got_s), want_s, atol=1e-4,
+                                   rtol=1e-5)
