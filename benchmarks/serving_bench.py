@@ -218,6 +218,31 @@ def main(argv=None):
         out["runs"][f"{a}_vs_{b}"] = round(
             out["runs"][a]["decode_tokens_per_sec"]
             / out["runs"][b]["decode_tokens_per_sec"], 3)
+
+    # HBM roofline for this workload (decode is bandwidth-bound): bytes
+    # every decode step MUST move, at the chip's peak and at the repo's
+    # measured chained-GEMM bandwidth (bench.py dense_gbps ~563, peak
+    # methodology check 840 GB/s) — states what tokens/sec is physically
+    # available to ANY engine on this chip, judging the measured numbers.
+    B = len(PROMPTS)
+    live_tokens = sum(S + MAX_NEW // 2 for S in PROMPTS)   # mid-run avg
+    layer_w = (4 * H * H + 3 * H * I) * 2                  # bf16 bytes
+    weights = LAYERS * layer_w + H * VOCAB * 2             # + lm_head
+    kv_per_tok = 2 * 32 * 128 * 2 * LAYERS                 # k+v, all layers
+    step_bytes = weights + live_tokens * kv_per_tok
+    out["roofline"] = {
+        "step_traffic_gb": round(step_bytes / 2 ** 30, 2),
+        "weights_gb": round(weights / 2 ** 30, 2),
+        "kv_read_gb": round(live_tokens * kv_per_tok / 2 ** 30, 2),
+        "tokens_per_sec_at_peak_840gbps": round(
+            B / (step_bytes / (840 * 10 ** 9)), 1),
+        "tokens_per_sec_at_measured_563gbps": round(
+            B / (step_bytes / (563 * 10 ** 9)), 1),
+        "note": "dense decode; latent modes cut kv_read by the cache "
+                "ratio. The engine cannot exceed these without cutting "
+                "traffic (batch>8 amortizes weights; quantized factors "
+                "cut weight bytes).",
+    }
     if ns.json:
         with open(ns.json, "w") as f:
             json.dump(out, f, indent=2)
