@@ -140,11 +140,19 @@ def _gqa_probs(q0, k, rep, scale, softcap, mask_t):
 def _absorbed_v_out(probs, tv, v_leaf, KV, hd, rep, x_dtype):
     """Attention-weighted sum over Rv-dim latents + per-group V
     up-projection of the result (absorbed-V algebra; O(H*hd*Rv) per step,
-    independent of context length). probs: [B, KV, rep, T]."""
-    B = probs.shape[0]
-    s = jnp.einsum("bgrk,bkv->bgrv", probs.astype(tv.dtype), tv,
-                   preferred_element_type=jnp.float32,
-                   precision=attn_precision(tv.dtype))
+    independent of context length). probs: [B, KV, rep, T].
+
+    The numerator runs as ONE flattened [B, H, T] x [B, T, Rv] batched
+    dot: the (g, r) axes are contiguous so the reshape is free, and the
+    attn micro (attn_micro_r3.json latent_v_flat) measured XLA's lowering
+    of the bgrk,bkv->bgrv einsum re-reading tv per group at long T
+    (0.947x dense at gqa8/T4096 vs 1.017x flattened)."""
+    B, _, _, T = probs.shape
+    pf = probs.reshape(B, KV * rep, T).astype(tv.dtype)
+    s = jax.lax.dot_general(pf, tv, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=attn_precision(tv.dtype))
+    s = s.reshape(B, KV, rep, -1)                        # [B, KV, rep, Rv]
     a_v = v_leaf["A"].reshape(KV, hd, -1)                # [KV, hd, Rv]
     out = jnp.einsum("bgrv,gdv->bgrd", s.astype(a_v.dtype), a_v,
                      preferred_element_type=jnp.float32,
