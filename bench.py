@@ -236,7 +236,8 @@ def _artifact_summary():
                         "benchmarks", "results")
     out = {}
     try:
-        d = _load_first(base, "model_decode_bench_r3.json",
+        d = _load_first(base, "model_decode_bench_r3b.json",
+                        "model_decode_bench_r3.json",
                         "model_decode_bench_r2b.json")["runs"]
         out["full_model_decode"] = {
             k: {m: d[k][m] for m in
@@ -247,7 +248,8 @@ def _artifact_summary():
     except Exception:
         pass
     try:
-        d = _load_first(base, "serving_bench_r3.json",
+        d = _load_first(base, "serving_bench_r3b.json",
+                        "serving_bench_r3.json",
                         "serving_bench_r2.json")["runs"]
         out["paged_serving"] = {
             "dense_paged_vs_flat": d.get("dense_paged_vs_dense_flat"),
