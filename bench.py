@@ -184,8 +184,8 @@ def _build_q4_layer():
     """Int4-packed-factor layer using the fused q4 Pallas kernel — the AWQ
     w4 deployment analogue (ref quantization.py:269): 2 codes/byte +
     per-(row, 128-group) scales, HBM factor traffic QUARTERED vs bf16.
-    Goes through fused_lowrank_apply_q4, which picks large kernel tiles
-    (grid-step overhead, not DMA, bounds the 512-tile kernel) and pads."""
+    Goes through fused_lowrank_apply_q4 (tile choice + padding; the
+    capacity point — see benchmarks/results/q4_analysis_r3.json)."""
     from asvd4llm_tpu.ops.pallas_lowrank import fused_lowrank_apply_q4
     from asvd4llm_tpu.ops.quant import quantize_to_int4_grouped
 
