@@ -194,6 +194,25 @@ def main(argv=None):
                 k: round(v, 3) for k, v in phases.items()}
         print(json.dumps({name: out["runs"][name]}), flush=True)
 
+    # batch-16 decode-only run: same prompt mix x2. The 8-request
+    # workload is HBM-roofline-bound (see out["roofline"]); doubling the
+    # batch amortizes the per-step weight read over 2x the tokens — the
+    # lever a serving deployment actually has for throughput.
+    prompts16 = PROMPTS + PROMPTS
+    total16 = sum(pages_needed(S + MAX_NEW + CHUNK, PAGE)
+                  for S in prompts16) + 2
+    _engine_run(dense, spec, prompts16, latent=False, use_pallas=on_tpu,
+                num_pages=total16, max_pages=max_pages)
+    tps, mem, phases = _engine_run(
+        dense, spec, prompts16, latent=False, use_pallas=on_tpu,
+        num_pages=total16, max_pages=max_pages)
+    out["runs"]["dense_paged_b16"] = {
+        "decode_tokens_per_sec": round(tps, 1),
+        "cache_mb": round(mem / 2 ** 20, 1),
+        "phase_s": {k: round(v, 3) for k, v in phases.items()}}
+    print(json.dumps({"dense_paged_b16": out["runs"]["dense_paged_b16"]}),
+          flush=True)
+
     # full-workload run (admission INCLUDED): batched chunked admission
     # interleaving with decode. Whole-prompt admission is not benchable
     # here — it compiles one prefill program per novel prompt length
