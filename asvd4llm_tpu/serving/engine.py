@@ -42,6 +42,10 @@ class _Request:
     slot: int = -1
     filled: int = 0               # prompt tokens already in the cache
     done: bool = False
+    # wall-clock latency markers (perf_counter seconds)
+    t_enqueue: float = 0.0
+    t_first: float = 0.0          # first generated token visible
+    t_finish: float = 0.0
 
     @property
     def decoding(self) -> bool:
@@ -98,6 +102,7 @@ class PagedEngine:
         self._next_rid += 1
         req = _Request(rid, np.asarray(prompt_ids, np.int32).reshape(-1),
                        max_new_tokens)
+        req.t_enqueue = time.perf_counter()
         self.requests[rid] = req
         self.waiting.append(req)
         self._admit()
@@ -105,6 +110,40 @@ class PagedEngine:
 
     def result(self, rid: int) -> np.ndarray:
         return np.asarray(self.requests[rid].tokens, np.int32)
+
+    def request_stats(self, rid: int) -> dict:
+        """Per-request latency: TTFT (enqueue -> first generated token)
+        and TPOT (mean inter-token time after the first)."""
+        req = self.requests[rid]
+        n = len(req.tokens)
+        ttft = (req.t_first - req.t_enqueue) if req.t_first else None
+        end = req.t_finish or req.t_first
+        tpot = ((end - req.t_first) / (n - 1)
+                if req.t_first and n > 1 else None)
+        return {"rid": rid, "n_tokens": n, "prompt_tokens": len(req.prompt),
+                "ttft_s": ttft, "tpot_s": tpot, "done": req.done}
+
+    def stats(self) -> dict:
+        """Aggregate engine stats: token counts, phase wall-clock, and
+        TTFT/TPOT percentiles over finished requests."""
+        done = [r for r in self.requests.values() if r.done and r.t_first]
+        ttfts = sorted(r.t_first - r.t_enqueue for r in done)
+        tpots = sorted((r.t_finish - r.t_first) / (len(r.tokens) - 1)
+                       for r in done if len(r.tokens) > 1)
+
+        def pct(xs, p):
+            return xs[min(len(xs) - 1, int(p * len(xs)))] if xs else None
+
+        return {
+            "requests_done": len(done),
+            "tokens_generated": sum(len(r.tokens)
+                                    for r in self.requests.values()),
+            "phase_s": dict(self.phase_s),
+            "ttft_s": {"p50": pct(ttfts, 0.5), "p90": pct(ttfts, 0.9),
+                       "max": ttfts[-1] if ttfts else None},
+            "tpot_s": {"p50": pct(tpots, 0.5), "p90": pct(tpots, 0.9),
+                       "max": tpots[-1] if tpots else None},
+        }
 
     def _pick(self, logits_row: np.ndarray, rid: int, q: int) -> int:
         """Greedy (temperature 0) or temperature/top-p sampling of the
@@ -165,6 +204,7 @@ class PagedEngine:
         pages/positions to the decode dispatch."""
         slot = req.slot
         req.tokens.append(first)
+        req.t_first = time.perf_counter()
         self.page_table[slot, :] = 0
         self.page_table[slot, :len(req.pages)] = req.pages
         self.positions[slot] = len(req.prompt)
@@ -226,6 +266,9 @@ class PagedEngine:
     def _retire(self, req: _Request):
         slot = req.slot
         req.done = True
+        req.t_finish = time.perf_counter()
+        if not req.t_first and req.tokens:   # pre-filled bench requests
+            req.t_first = req.t_enqueue or req.t_finish
         self.free_pages.extend(req.pages)
         req.pages = []
         self.slots[slot] = None

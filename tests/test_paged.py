@@ -538,3 +538,25 @@ def test_group_chunk_helpers_match_per_group_loop():
             for g in range(KV)], axis=0)
         np.testing.assert_allclose(np.asarray(got_s), want_s, atol=1e-4,
                                    rtol=1e-5)
+
+
+def test_engine_request_stats(tiny):
+    """TTFT/TPOT markers: per-request stats populated with sane ordering
+    (enqueue <= first token <= finish), aggregate percentiles present."""
+    params, spec = tiny
+    rng = np.random.RandomState(5)
+    eng = PagedEngine(params, spec, max_batch=2, page_size=8, num_pages=32,
+                      max_pages_per_seq=4)
+    rids = [eng.add_request(rng.randint(0, 128, size=(s,)),
+                            max_new_tokens=4) for s in (6, 9)]
+    eng.run(chunk=2)
+    for rid in rids:
+        st = eng.request_stats(rid)
+        assert st["done"] and st["n_tokens"] == 4
+        assert st["ttft_s"] is not None and st["ttft_s"] >= 0
+        assert st["tpot_s"] is not None and st["tpot_s"] >= 0
+    agg = eng.stats()
+    assert agg["requests_done"] == 2
+    assert agg["tokens_generated"] == 8
+    assert agg["ttft_s"]["p50"] is not None
+    assert agg["tpot_s"]["max"] is not None
