@@ -38,6 +38,36 @@ def make_mesh(shape=(1, 1), devices=None, axis_names=("dp", "tp")) -> Mesh:
     return Mesh(arr, axis_names)
 
 
+def make_multislice_mesh(dcn: int = 1, dp: int = 1, tp: int = 1,
+                         devices=None) -> Mesh:
+    """3-axis ("dcn", "dp", "tp") mesh for multi-slice pods.
+
+    tp is innermost (ICI ring within a slice); dcn outermost (the slow
+    inter-slice DCN links). The sharding rules in this module put ONLY
+    batch axes on ("dcn", "dp") — parameters shard on tp WITHIN a slice
+    and replicate across slices — so the only cross-DCN collectives GSPMD
+    inserts are the O(stats)-sized calibration/loss reductions, never
+    O(weights) tensor-parallel traffic (scaling-book recipe: weight
+    collectives ride ICI, data reductions may ride DCN).
+
+    On real multi-slice hardware the device order comes from
+    mesh_utils.create_hybrid_device_mesh (DCN-topology aware); on a
+    single slice or the virtual CPU mesh a plain reshape gives the same
+    logical mesh."""
+    devices = devices if devices is not None else jax.devices()
+    n = dcn * dp * tp
+    assert n <= len(devices), \
+        f"mesh (dcn={dcn}, dp={dp}, tp={tp}) needs {n} devices, " \
+        f"have {len(devices)}"
+    try:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (dp, tp), (dcn, 1), devices=devices[:n]).reshape(dcn, dp, tp)
+    except Exception:   # single slice / CPU: no DCN topology to respect
+        arr = np.asarray(devices[:n]).reshape(dcn, dp, tp)
+    return Mesh(arr, ("dcn", "dp", "tp"))
+
+
 def _leaf_spec(key: str, leaf: dict, tp_size: int) -> dict:
     """PartitionSpecs for one linear leaf dict (dense, low-rank, q8, q4).
 
@@ -159,8 +189,12 @@ def shard_params(params: dict, spec, mesh: Mesh) -> dict:
         is_leaf=lambda x: x is None or not isinstance(x, (dict, list)))
 
 
-def data_sharding(mesh: Mesh, *, batch_axis: str = "dp") -> NamedSharding:
-    """[B, S] token batches shard over the data-parallel axis."""
+def data_sharding(mesh: Mesh, *, batch_axis=None) -> NamedSharding:
+    """[B, S] token batches shard over the data-parallel axes — ("dcn",
+    "dp") jointly on a multi-slice mesh, "dp" otherwise."""
+    if batch_axis is None:
+        axes = tuple(a for a in ("dcn", "dp") if a in mesh.shape)
+        batch_axis = axes if len(axes) > 1 else (axes[0] if axes else "dp")
     return NamedSharding(mesh, P(batch_axis, None))
 
 

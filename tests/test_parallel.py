@@ -158,3 +158,31 @@ def test_sensitivity_scan_candidates_sharded_over_dp(eight_devices, tmp_path):
         for r in s_single[name]:
             assert s_mesh[name][r] == pytest.approx(s_single[name][r],
                                                     rel=1e-4), (name, r)
+
+
+def test_multislice_mesh_forward_and_stats(setup):
+    """(dcn=2, dp=2, tp=2) multi-slice mesh: params shard on tp only
+    (replicated across dcn), batches shard over (dcn, dp) jointly, and
+    the forward + calibration stats match single-device."""
+    from asvd4llm_tpu.calib.stats import _stats_forward
+    from asvd4llm_tpu.parallel.mesh import make_multislice_mesh
+
+    params, ids, ref = setup
+    mesh = make_multislice_mesh(dcn=2, dp=2, tp=2)
+    assert mesh.shape == {"dcn": 2, "dp": 2, "tp": 2}
+    sharded = shard_params(params, SPEC, mesh)
+    # a column-parallel weight shards over tp only -> 2 distinct shards
+    w = get_linear(sharded, SPEC, "model.layers.0.self_attn.q_proj")["w"]
+    assert w.sharding.spec == P("tp", None)
+    ids_sh = jax.device_put(ids, data_sharding(mesh))
+    assert ids_sh.sharding.spec == P(("dcn", "dp"), None)
+    out = np.asarray(jax.jit(lambda p, i: forward(p, i, SPEC))(sharded,
+                                                               ids_sh))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+    stats = _stats_forward(sharded, ids_sh, SPEC, "abs_mean")
+    ref_stats = _stats_forward(params, ids, SPEC, "abs_mean")
+    for k in ref_stats:
+        np.testing.assert_allclose(np.asarray(stats[k]),
+                                   np.asarray(ref_stats[k]),
+                                   atol=1e-5, rtol=1e-4)
