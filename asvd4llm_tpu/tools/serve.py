@@ -88,6 +88,17 @@ def main(argv=None):
             print(f"--- {prompt!r}\n{tokenizer.decode(toks.tolist())}")
         print(f"[{len(prompts)} requests, {n} tokens in {dt:.1f}s = "
               f"{n / dt:.1f} tok/s (incl. compile)]", file=sys.stderr)
+        st = eng.stats()
+
+        def _fmt(v):
+            return "-" if v is None else f"{v * 1e3:.0f}ms"
+        print(f"[ttft p50/p90/max {_fmt(st['ttft_s']['p50'])}/"
+              f"{_fmt(st['ttft_s']['p90'])}/{_fmt(st['ttft_s']['max'])}  "
+              f"tpot p50/p90 {_fmt(st['tpot_s']['p50'])}/"
+              f"{_fmt(st['tpot_s']['p90'])}  "
+              f"phase prefill/decode/host "
+              f"{st['phase_s']['prefill']:.2f}/{st['phase_s']['decode']:.2f}"
+              f"/{st['phase_s']['host']:.2f}s]", file=sys.stderr)
         return 0
 
     ids = np.asarray(tokenizer.encode(args.prompt), np.int32)[None, :]
