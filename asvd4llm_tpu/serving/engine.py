@@ -383,3 +383,25 @@ class PagedEngine:
             steps += 1
             if steps > max_steps:
                 raise RuntimeError("run() exceeded max_steps")
+
+    def stream(self, max_steps: int = 10_000, chunk: int = 1):
+        """Generator form of run(): yields (rid, token) pairs as tokens
+        become visible to the host — once per token with chunk=1, once
+        per scheduling chunk otherwise (multi-step scheduling trades
+        streaming granularity for the amortized dispatch). Tokens are
+        yielded in emission order per request; requests may interleave."""
+        sent: dict[int, int] = {}
+        steps = 0
+        while not self.all_done():
+            if chunk > 1:
+                self.step_many(chunk)
+            else:
+                self.step()
+            for rid in list(self.requests):
+                toks = self.requests[rid].tokens
+                for t in toks[sent.get(rid, 0):]:
+                    yield rid, int(t)
+                sent[rid] = len(toks)
+            steps += 1
+            if steps > max_steps:
+                raise RuntimeError("stream() exceeded max_steps")

@@ -560,3 +560,29 @@ def test_engine_request_stats(tiny):
     assert agg["tokens_generated"] == 8
     assert agg["ttft_s"]["p50"] is not None
     assert agg["tpot_s"]["max"] is not None
+
+
+def test_engine_stream_matches_run(tiny):
+    """stream() yields exactly the tokens run() would produce, in
+    per-request emission order, for both chunk=1 and multi-step."""
+    params, spec = tiny
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(0, 128, size=(s,)) for s in (5, 8)]
+
+    ref = {}
+    eng = PagedEngine(params, spec, max_batch=2, page_size=8, num_pages=32,
+                      max_pages_per_seq=4)
+    rids = [eng.add_request(p, max_new_tokens=5) for p in prompts]
+    eng.run(chunk=2)
+    for rid in rids:
+        ref[rid] = eng.result(rid).tolist()
+
+    for chunk in (1, 2):
+        eng2 = PagedEngine(params, spec, max_batch=2, page_size=8,
+                           num_pages=32, max_pages_per_seq=4)
+        rids2 = [eng2.add_request(p, max_new_tokens=5) for p in prompts]
+        got = {rid: [] for rid in rids2}
+        for rid, tok in eng2.stream(chunk=chunk):
+            got[rid].append(tok)
+        for r_ref, r_got in zip(rids, rids2):
+            assert got[r_got] == ref[r_ref], (chunk, r_got)
