@@ -68,7 +68,7 @@ class PagedEngine:
                  eos_token_id=None, dtype=jnp.float32,
                  use_pallas: bool = False, temperature: float = 0.0,
                  top_p: float = 1.0, seed: int = 0,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, prefix_cache: int = 0):
         self.params, self.spec = params, spec
         self.page_size = page_size
         self.eos_token_id = eos_token_id
@@ -88,6 +88,18 @@ class PagedEngine:
         self.slots: list[_Request | None] = [None] * max_batch
         # page 0 is the reserved scratch page for inactive slots
         self.free_pages = list(range(num_pages - 1, 0, -1))
+        # automatic prefix caching (chunked-admission mode only): finished
+        # prefills register their whole-page prompt prefixes; later
+        # requests sharing that prefix point their page tables at the
+        # SAME pool pages and skip those prefill tokens entirely. Pages
+        # are refcounted (request owners + one index ref); prefix pages
+        # are read-only by construction — private writes start at
+        # filled >= k*page (a page boundary) so no copy-on-write is ever
+        # needed. `prefix_cache` = max cached prefixes (0 disables).
+        self.prefix_cache = int(prefix_cache)
+        self.page_refs: dict[int, int] = {}
+        self._prefix_index: dict[bytes, list] = {}   # key -> [pages, lru]
+        self._lru = 0
         self.waiting: list[_Request] = []
         self.requests: dict[int, _Request] = {}
         self._next_rid = 0
@@ -167,7 +179,75 @@ class PagedEngine:
             raise RuntimeError(
                 f"page pool exhausted ({n} needed, {len(self.free_pages)} "
                 f"free) — raise num_pages or lower concurrency")
-        return [self.free_pages.pop() for _ in range(n)]
+        pages = [self.free_pages.pop() for _ in range(n)]
+        for p in pages:
+            self.page_refs[p] = 1
+        return pages
+
+    def _release(self, pages):
+        """Drop one reference per page; pages return to the pool at 0
+        (shared prefix pages stay live while other requests or the
+        prefix index still hold them)."""
+        for p in pages:
+            r = self.page_refs.get(p, 1) - 1
+            if r <= 0:
+                self.page_refs.pop(p, None)
+                self.free_pages.append(p)
+            else:
+                self.page_refs[p] = r
+
+    # -------------------------------------------------- prefix caching --
+
+    def _prefix_key(self, prompt: np.ndarray, n_tokens: int) -> bytes:
+        return np.ascontiguousarray(prompt[:n_tokens]).tobytes()
+
+    def _prefix_lookup(self, prompt: np.ndarray):
+        """Longest indexed whole-page prefix STRICTLY shorter than the
+        prompt (at least one token must prefill so the next-token logits
+        for decode exist). Returns (shared_pages, covered_tokens)."""
+        if not (self.prefix_cache and self.prefill_chunk):
+            return [], 0
+        P = self.page_size
+        for k in range((len(prompt) - 1) // P, 0, -1):
+            hit = self._prefix_index.get(self._prefix_key(prompt, k * P))
+            if hit is not None:
+                self._lru += 1
+                hit[1] = self._lru
+                for p in hit[0]:
+                    self.page_refs[p] = self.page_refs.get(p, 0) + 1
+                return list(hit[0]), k * P
+        return [], 0
+
+    def _prefix_register(self, req: _Request):
+        """Index the request's whole-page prompt prefix once its prompt is
+        fully cached; the index holds its own page reference. LRU-evict
+        beyond capacity."""
+        if not (self.prefix_cache and self.prefill_chunk):
+            return
+        P = self.page_size
+        nfull = len(req.prompt) // P
+        # every whole-page prefix length is indexed (an identical prompt
+        # re-submission probes (S-1)//P < nfull, so the longest entry
+        # alone would never serve it); entries share the same pool pages,
+        # each holding its own refs
+        for k in range(1, nfull + 1):
+            key = self._prefix_key(req.prompt, k * P)
+            if key in self._prefix_index:
+                continue
+            pages = req.pages[:k]
+            for p in pages:
+                self.page_refs[p] = self.page_refs.get(p, 0) + 1
+            self._lru += 1
+            self._prefix_index[key] = [pages, self._lru]
+        while len(self._prefix_index) > self.prefix_cache:
+            victim = min(self._prefix_index, key=lambda k:
+                         self._prefix_index[k][1])
+            self._release(self._prefix_index.pop(victim)[0])
+
+    def clear_prefix_cache(self):
+        for pages, _ in self._prefix_index.values():
+            self._release(pages)
+        self._prefix_index.clear()
 
     def _admit(self):
         """Move waiting requests into free slots.
@@ -186,7 +266,13 @@ class PagedEngine:
             n = pages_needed(S, self.page_size)
             if n > self.page_table.shape[1]:
                 raise ValueError(f"prompt needs {n} pages > max_pages_per_seq")
-            req.pages = self._alloc(n)
+            shared, covered = self._prefix_lookup(req.prompt)
+            try:
+                req.pages = shared + self._alloc(n - len(shared))
+            except RuntimeError:
+                self._release(shared)
+                raise
+            req.filled = covered     # shared prefix tokens never prefill
             req.slot = slot
             self.slots[slot] = req
             if self.prefill_chunk:
@@ -205,6 +291,7 @@ class PagedEngine:
         slot = req.slot
         req.tokens.append(first)
         req.t_first = time.perf_counter()
+        self._prefix_register(req)
         self.page_table[slot, :] = 0
         self.page_table[slot, :len(req.pages)] = req.pages
         self.positions[slot] = len(req.prompt)
@@ -269,7 +356,7 @@ class PagedEngine:
         req.t_finish = time.perf_counter()
         if not req.t_first and req.tokens:   # pre-filled bench requests
             req.t_first = req.t_enqueue or req.t_finish
-        self.free_pages.extend(req.pages)
+        self._release(req.pages)
         req.pages = []
         self.slots[slot] = None
         self.page_table[slot, :] = 0     # scratch page for the idle slot

@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas decode kernels")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--prefix_cache", type=int, default=0,
+                   help="max cached prompt prefixes for automatic prefix "
+                        "sharing across --batch requests (0 = off)")
     p.add_argument("--temperature", type=float, default=0.0,
                    help="0 = greedy; >0 = multinomial sampling")
     args = p.parse_args(argv)
@@ -75,7 +78,9 @@ def main(argv=None):
             max_pages_per_seq=pages_needed(longest, args.page_size) + 1,
             latent="kv" if args.latent_kv == "kv" else args.latent_kv,
             eos_token_id=tokenizer.eos_token_id, dtype=dtype,
-            use_pallas=args.use_pallas, temperature=args.temperature)
+            use_pallas=args.use_pallas, temperature=args.temperature,
+            prefill_chunk=args.page_size if args.prefix_cache else 0,
+            prefix_cache=args.prefix_cache)
         t0 = time.time()
         rids = [eng.add_request(e, max_new_tokens=args.max_new_tokens)
                 for e in enc]

@@ -586,3 +586,46 @@ def test_engine_stream_matches_run(tiny):
             got[rid].append(tok)
         for r_ref, r_got in zip(rids, rids2):
             assert got[r_got] == ref[r_ref], (chunk, r_got)
+
+
+def test_prefix_cache_identical_outputs_and_fewer_prefill_tokens(tiny):
+    """Automatic prefix caching: a request sharing a long prefix with an
+    earlier one produces IDENTICAL tokens while skipping the shared whole
+    pages at prefill; page accounting never leaks or double-frees."""
+    params, spec = tiny
+    rng = np.random.RandomState(11)
+    P = 8
+    sys_prompt = rng.randint(0, 128, size=(3 * P,))          # 3 full pages
+    p1 = np.concatenate([sys_prompt, rng.randint(0, 128, size=(5,))])
+    p2 = np.concatenate([sys_prompt, rng.randint(0, 128, size=(7,))])
+    p3 = np.asarray(p1)                                      # exact repeat
+
+    def run(prefix_cache):
+        eng = PagedEngine(params, spec, max_batch=1, page_size=P,
+                          num_pages=64, max_pages_per_seq=8,
+                          prefill_chunk=P, prefix_cache=prefix_cache)
+        outs, filled0 = [], []
+        for p in (p1, p2, p3):
+            rid = eng.add_request(p, max_new_tokens=4)
+            filled0.append(eng.requests[rid].filled)
+            eng.run(chunk=2)
+            outs.append(eng.result(rid).tolist())
+        return eng, outs, filled0
+
+    eng_off, outs_off, f_off = run(0)
+    eng_on, outs_on, f_on = run(8)
+    assert outs_on == outs_off
+    assert f_off == [0, 0, 0]
+    # p1 cold; p2 hits the 3-page prefix; p3 (identical) hits 3 pages too
+    # ((S-1)//P == 3 full pages of its own 29-token prompt)
+    assert f_on == [0, 3 * P, 3 * P]
+
+    # all requests retired: every non-scratch page is either free or held
+    # by the index, and refcounts are consistent
+    held = sorted(p for pages, _ in eng_on._prefix_index.values()
+                  for p in pages)
+    assert set(held).isdisjoint(eng_on.free_pages)
+    eng_on.clear_prefix_cache()
+    assert not eng_on._prefix_index
+    assert sorted(eng_on.free_pages) == list(range(1, 64))
+    assert not eng_on.page_refs
