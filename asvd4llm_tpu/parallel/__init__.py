@@ -1,3 +1,4 @@
 from asvd4llm_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, param_shardings, shard_params, data_sharding,
+    data_sharding, make_mesh, make_multislice_mesh, param_shardings,
+    shard_params,
 )
