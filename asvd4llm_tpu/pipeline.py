@@ -36,12 +36,18 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
     (compressed_params, manifest, artifacts dict)."""
     from asvd4llm_tpu.utils.profiling import phase
 
-    # multi-chip: place params on the (dp, tp) mesh; every jitted pass
-    # below then runs SPMD via GSPMD-inserted collectives
+    # multi-chip: place params on the (dp, tp) mesh — or the 3-axis
+    # (dcn, dp, tp) multi-slice mesh when mesh_shape has three entries
+    # (batch axes span (dcn, dp); weights never cross DCN) — every jitted
+    # pass below then runs SPMD via GSPMD-inserted collectives
     mesh = None
     if int(np.prod(cfg.mesh_shape)) > 1:
-        from asvd4llm_tpu.parallel.mesh import make_mesh, shard_params
-        mesh = make_mesh(tuple(cfg.mesh_shape))
+        from asvd4llm_tpu.parallel.mesh import (
+            make_mesh, make_multislice_mesh, shard_params,
+        )
+        shape = tuple(cfg.mesh_shape)
+        mesh = (make_multislice_mesh(*shape) if len(shape) == 3
+                else make_mesh(shape))
         params = shard_params(params, spec, mesh)
         log.info("params sharded over mesh %s", dict(mesh.shape))
 

@@ -137,6 +137,12 @@ def test_pipeline_compress_on_mesh(eight_devices, tmp_path):
     assert all(m1[k] == m2[k] for k in m1)
     assert count_linear_params(c1, SPEC) == count_linear_params(c2, SPEC)
 
+    # 3-entry mesh_shape routes to the multi-slice (dcn, dp, tp) mesh
+    cfg3 = cfg.replace(mesh_shape=(2, 2, 2), cache_dir=str(tmp_path / "c3"))
+    c3, m3, _ = compress(params, SPEC, None, cfg3)
+    assert m1.keys() == m3.keys()
+    assert all(m1[k] == m3[k] for k in m1)
+
 
 def test_sensitivity_scan_candidates_sharded_over_dp(eight_devices, tmp_path):
     """Candidate-sharded sensitivity scan on a (2, 4) mesh matches the
