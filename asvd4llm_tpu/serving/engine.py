@@ -138,7 +138,10 @@ class PagedEngine:
     def stats(self) -> dict:
         """Aggregate engine stats: token counts, phase wall-clock, and
         TTFT/TPOT percentiles over finished requests."""
-        done = [r for r in self.requests.values() if r.done and r.t_first]
+        # t_enqueue == 0 marks requests stuffed directly into slots
+        # (bench harnesses) — their wall-clock markers are meaningless
+        done = [r for r in self.requests.values()
+                if r.done and r.t_first and r.t_enqueue]
         ttfts = sorted(r.t_first - r.t_enqueue for r in done)
         tpots = sorted((r.t_finish - r.t_first) / (len(r.tokens) - 1)
                        for r in done if len(r.tokens) > 1)
