@@ -133,8 +133,14 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
         from asvd4llm_tpu.ops.svd import truncated_svd
         leaf = get_linear(params, spec, name)
         out_f, in_f = leaf_shape(leaf)
-        # trials may request any grid ratio AND the default ratio 1.0
-        cand = [r for r in sensitivity_dict[name] if r < 1] + [1.0]
+        # trials (and the final pass) may request ANY grid ratio plus the
+        # default ratio. KV mode's grid runs past 1.0 (to 1.9, ref
+        # sensitivity.py:36-37: params GROW but the rank-dim cache still
+        # shrinks) — dropping >=1 ratios here silently truncated a chosen
+        # ratio-1.4 layer to the ratio-1.0 rank (384 vs the reference's
+        # 640 at 768x768/rank_align 128; caught by the production-shape
+        # KV differential, benchmarks/results/differential_production_kv_r3.json)
+        cand = list(sensitivity_dict[name]) + [1.0, default_param_ratio]
         max_rank = max(min(rank_for_param_ratio(in_f, out_f, r,
                                                 cfg.rank_align), in_f, out_f)
                        for r in cand)

@@ -290,3 +290,38 @@ def test_reference_walk_order_matches_torch_walk(family):
     names = linear_names(params, spec, include_extras=True)
     got = reference_walk_order(params, spec, names)
     assert got == expected
+
+
+def test_kv_mode_realizes_ratios_above_one(tiny):
+    """KV grid ratios run past 1.0 (params grow, the rank-dim cache still
+    shrinks, ref sensitivity.py:36-37). The final decompose must realize
+    the reference rank formula for those ratios — the max-rank SVD cache
+    once dropped >=1 ratios and silently truncated a chosen ratio-1.4
+    layer to the ratio-1.0 rank (caught by the production-shape KV
+    differential)."""
+    params, spec = tiny
+    names = [n for n, _ in iter_linears(params, spec)]
+    rng = np.random.RandomState(3)
+    grid = [round(0.1 * i, 10) for i in range(1, 20)]
+    sensitivity = {n: {r: float(rng.uniform(10, 100) / r) for r in grid}
+                   for n in names}
+    # a mild target forces chosen ratios well above 1.0 (target ~ r/2)
+    cfg = ASVDConfig(model_id="t", compress_kv_cache=True,
+                     kv_cache_ratio_target=0.85)
+    out, manifest = binary_search_truncation_rank(
+        params, spec, sensitivity, _loader(2), cfg)
+    assert manifest
+    rank_10 = {}
+    for n in manifest:
+        leaf = get_linear(params, spec, n)
+        o, i = leaf["w"].shape
+        rank_10[n] = min(rank_for_param_ratio(i, o, 1.0, cfg.rank_align),
+                         i, o)
+    # with target 0.85 at least one layer must land above the ratio-1.0
+    # rank — under the truncation bug every rank clamped to rank_10
+    assert any(manifest[n] > rank_10[n] for n in manifest), \
+        (manifest, rank_10)
+    # and every realized low-rank leaf's shapes match its manifest rank
+    for n, r in manifest.items():
+        leaf = get_linear(out, spec, n)
+        assert is_lowrank(leaf) and leaf["A"].shape[1] == r
