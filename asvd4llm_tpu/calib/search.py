@@ -149,7 +149,9 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
             scale = build_scaling_vector(
                 None if stats is None else stats.get(name),
                 None if fisher is None else fisher.get(name), cfg.alpha)
-        w32 = leaf["w"].astype(jnp.float32)
+        # host-master residency: leaf["w"] may be a host numpy master
+        # (models/hostmem.py) — one explicit upload per name, used once
+        w32 = jnp.asarray(leaf["w"]).astype(jnp.float32)
         if scale is not None:
             w32 = w32 * scale[None, :]
         u, s, vh = truncated_svd(w32, max(max_rank, 1),
@@ -262,6 +264,10 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
             continue
         key, sub = jax.random.split(key)
         f = _factors_from_cache(name, r, sub)
+        # the final pass is the last consumer of this name's max-rank SVD;
+        # evicting bounds peak HBM to ONE cached factorization instead of
+        # every compressed layer's (u, s, vh) — ~23 GB at full 7B depth
+        svd_cache.pop(name, None)
         if f is None:
             log.warning("factorization unusable for %s at ratio %s; "
                         "keeping dense layer", name, r)

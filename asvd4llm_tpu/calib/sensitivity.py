@@ -312,7 +312,7 @@ def _prep_grid_candidates(leaf, grid, cfg, scale, sub, mesh):
 
 def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                              stats, fisher, mesh, include_extras,
-                             timings=None) -> dict:
+                             timings=None, stacked=None) -> dict:
     """Layer-major scan driver (uniform all-dense models): walks layers in
     order, keeps the dense model's hidden at the current layer's input
     cached on device, and scores each leaf's whole ratio grid with the
@@ -324,9 +324,18 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
     from asvd4llm_tpu.models.registry import (
         LM_HEAD_NAME, extra_linear_names, layer_linear_keys, linear_name,
     )
-    from asvd4llm_tpu.models.scan_forward import stack_layers
+    from asvd4llm_tpu.models.scan_forward import (
+        slice_stacked_weight, stack_layers, stacked_num_layers,
+    )
 
-    stacked = stack_layers(params, spec)
+    if stacked is None:
+        stacked = stack_layers(params, spec)
+    # slim head-params: everything but the per-layer leaves. The jitted
+    # evaluators only touch embeddings / norms / head — passing the full
+    # params would re-upload host-resident layer masters on EVERY call in
+    # host-master residency mode (models/hostmem.py), and needlessly pin a
+    # duplicate per-layer copy as jit args otherwise.
+    hp = {k: v for k, v in params.items() if k != "layers"}
     limit = min(cfg.n_calib_samples, input_ids.shape[0])
     rows = jnp.asarray(input_ids[:limit])
     n, S = rows.shape
@@ -335,18 +344,20 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
     # evaluator additionally vmaps the whole candidate grid over rb rows
     rb = min(max(1, 2048 // max(S - 1, 1)), n)
     rb_adv = min(max(1, 4096 // S), n)
-    hidden = _embed_rows(params, spec, rows)
+    hidden = _embed_rows(hp, spec, rows)
 
     sensitivity: dict = {}
     key = jax.random.PRNGKey(cfg.seed)
     t0 = time.time()
     n_pts = 0
-    L = len(params["layers"])
+    L = stacked_num_layers(stacked)
     for li in range(L):
         for k in layer_linear_keys(spec):
             t_name = time.time()
             name = linear_name(spec, li, k)
-            leaf = params["layers"][li][k]
+            # candidate weight sliced from the stack: no host re-upload,
+            # and no dependence on per-layer device leaves
+            leaf = {"w": slice_stacked_weight(stacked, k, li), "b": None}
             scale = build_scaling_vector(
                 None if stats is None else stats.get(name),
                 None if fisher is None else fisher.get(name), cfg.alpha)
@@ -359,7 +370,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             if not valid:
                 continue
             ppls = _ppl_multi_ratio_suffix(
-                params, stacked, spec, hidden, labels, k, jnp.int32(li),
+                hp, stacked, spec, hidden, labels, k, jnp.int32(li),
                 w_hats, rb)
             finite = np.asarray(finite)
             for j, (ratio, ppl) in enumerate(zip(valid, np.asarray(ppls))):
@@ -371,7 +382,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             log.info("sensitivity %s done (%d pts, %.1fs elapsed)",
                      name, n_pts, time.time() - t0)
         # advance the cached prefix past this (dense) layer
-        hidden = _advance_rows(params, stacked, spec, hidden,
+        hidden = _advance_rows(hp, stacked, spec, hidden,
                                jnp.int32(li), rb_adv)
 
     if include_extras:
@@ -390,7 +401,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                     sensitivity[name][ratio] = float("inf")
                 if not valid:
                     continue
-                ppls = _ppl_head_grid(params, spec, hidden, labels, w_hats,
+                ppls = _ppl_head_grid(hp, spec, hidden, labels, w_hats,
                                       leaf["b"], rb)
                 finite = np.asarray(finite)
                 for j, (ratio, ppl) in enumerate(zip(valid,
@@ -422,7 +433,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None,
                           batch_ratios: bool | None = None,
-                          mesh=None, timings=None) -> dict:
+                          mesh=None, timings=None, stacked=None) -> dict:
     """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
     (ref sensitivity.py:10-61). Always act-aware (ref :50).
 
@@ -449,25 +460,31 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
     include_extras = getattr(cfg, "compress_all_linears", True)
     # scan-stacked evaluator: compiles O(1) in depth (decisive for 7B-class
     # models where the unrolled per-bucket compile costs minutes and scales
-    # with layer count); requires a uniform all-dense model. The stacked
-    # copy DUPLICATES the decoder weights on device, so fall back to the
-    # unrolled evaluator when two copies cannot fit in HBM.
+    # with layer count); requires a uniform all-dense model. With
+    # device-resident per-layer leaves the stacked copy DUPLICATES the
+    # decoder weights; models too large for that run in host-master
+    # residency (models/hostmem.py: layers on host, the stack is the ONLY
+    # device copy) — the pipeline offloads them before this point.
+    from asvd4llm_tpu.models.hostmem import (
+        DUPLICATE_BUDGET_BYTES, is_host_layers, layer_bytes,
+    )
     from asvd4llm_tpu.models.scan_forward import can_scan
     use_scan_eval = batch_ratios and can_scan(params, spec)
-    if use_scan_eval and jax.default_backend() == "tpu":
-        layer_bytes = sum(
-            int(np.prod(leaf["w"].shape)) * leaf["w"].dtype.itemsize
-            for layer in params["layers"]
-            for leaf in layer.values() if isinstance(leaf, dict) and "w" in leaf)
-        if 2 * layer_bytes > 11 * 1024 ** 3:
-            log.info("scan-stacked evaluator disabled: duplicate decoder "
-                     "weights (%.1f GB x2) would exceed HBM; using the "
-                     "unrolled evaluator", layer_bytes / 2 ** 30)
+    if (use_scan_eval and jax.default_backend() == "tpu"
+            and stacked is None and not is_host_layers(params)):
+        lb = layer_bytes(params)
+        if 2 * lb > DUPLICATE_BUDGET_BYTES:
+            log.warning(
+                "duplicate decoder weights (%.1f GB x2) would exceed HBM "
+                "and the caller did not offload to host-master residency "
+                "(models/hostmem.py) — falling back to the unrolled "
+                "evaluator (slower: no prefix-cached suffix)", lb / 2 ** 30)
             use_scan_eval = False
     if use_scan_eval:
         sensitivity = _scan_suffix_sensitivity(
             params, spec, input_ids, grid, cfg, stats=stats, fisher=fisher,
-            mesh=mesh, include_extras=include_extras, timings=timings)
+            mesh=mesh, include_extras=include_extras, timings=timings,
+            stacked=stacked)
         if cache is not None:
             cache.save_json("sensitivity", cfg.sensitivity_key(), sensitivity)
         return sensitivity

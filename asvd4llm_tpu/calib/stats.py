@@ -33,6 +33,13 @@ def _stats_forward(params, ids, spec, method):
     return stats
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "method"))
+def _stats_forward_scan(head_params, stacked, ids, spec, method):
+    from asvd4llm_tpu.models.scan_forward import forward_stats_scan
+    return forward_stats_scan(head_params, ids, spec, stacked=stacked,
+                              collect=method)
+
+
 def _stacked_batches(calib_loader, batch_size: int):
     """Group same-length samples into [B, L] device batches. Valid because
     both stats reductions are per-sample-then-combine (sum / max), so
@@ -48,7 +55,7 @@ def _stacked_batches(calib_loader, batch_size: int):
 
 def calib_input_distribution(params, spec, calib_loader, method: str,
                              cache=None, cache_key: str = "",
-                             batch_size: int = 8) -> dict:
+                             batch_size: int = 8, stacked=None) -> dict:
     """Run calibration forwards and return {linear_name: [in_features]}.
 
     calib_loader: list of {"input_ids": [1, L]} dicts (reference loader
@@ -73,15 +80,37 @@ def calib_input_distribution(params, spec, calib_loader, method: str,
             return {k: jnp.asarray(v) for k, v in hit.items()}
 
     acc: dict = {}
-    for ids_np in _stacked_batches(calib_loader, batch_size):
-        stats = _stats_forward(params, jnp.asarray(ids_np), spec, mode)
-        for k, v in stats.items():
-            if k not in acc:
-                acc[k] = v
-            elif mode == "abs_mean":
-                acc[k] = acc[k] + v
-            else:
-                acc[k] = jnp.maximum(acc[k], v)
+    if stacked is not None:
+        # host-master residency (models/hostmem.py): per-layer leaves live
+        # on host; the scan-stats forward runs over the stacked arrays and
+        # returns per-key [L, in] stats, split into names afterwards
+        from asvd4llm_tpu.models.registry import linear_name
+        hp = {k: v for k, v in params.items() if k != "layers"}
+        for ids_np in _stacked_batches(calib_loader, batch_size):
+            layer_st, extra_st = _stats_forward_scan(
+                hp, stacked, jnp.asarray(ids_np), spec, mode)
+            stats = dict(extra_st)
+            L = next(iter(layer_st.values())).shape[0]
+            for key, arr in layer_st.items():
+                for li in range(L):
+                    stats[linear_name(spec, li, key)] = arr[li]
+            for k, v in stats.items():
+                if k not in acc:
+                    acc[k] = v
+                elif mode == "abs_mean":
+                    acc[k] = acc[k] + v
+                else:
+                    acc[k] = jnp.maximum(acc[k], v)
+    else:
+        for ids_np in _stacked_batches(calib_loader, batch_size):
+            stats = _stats_forward(params, jnp.asarray(ids_np), spec, mode)
+            for k, v in stats.items():
+                if k not in acc:
+                    acc[k] = v
+                elif mode == "abs_mean":
+                    acc[k] = acc[k] + v
+                else:
+                    acc[k] = jnp.maximum(acc[k], v)
 
     if cache is not None:
         cache.save_arrays(f"calib_{mode}", cache_key,

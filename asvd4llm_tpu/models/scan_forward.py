@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from asvd4llm_tpu.models.decoder import (
     _activation, _causal_mask, apply_lm_head, apply_norm, apply_rope,
@@ -57,6 +58,17 @@ def can_scan(params: dict, spec) -> bool:
     return True
 
 
+def _stack(leaves):
+    """Stack per-layer leaves into one [L, ...] device array. Host (numpy)
+    leaves are stacked ON HOST first and uploaded in ONE transfer — the
+    host-master residency path (models/hostmem.py) where the stacked array
+    is the only device copy; jnp.stack over numpy inputs would device_put
+    every layer individually and transiently hold 2x on device."""
+    if isinstance(leaves[0], np.ndarray):
+        return jnp.asarray(np.stack(leaves))
+    return jnp.stack(leaves)
+
+
 def stack_layers(params: dict, spec) -> dict:
     """Stack per-layer leaves into leading-axis arrays:
     {key: {"w": [L, out, in], "b": [L, out] | None}, norm: {"w": [L, H]...}}."""
@@ -64,19 +76,30 @@ def stack_layers(params: dict, spec) -> dict:
     keys = layer_linear_keys(spec)
     stacked: dict = {}
     for k in keys:
-        ws = jnp.stack([l[k]["w"] for l in layers])
+        ws = _stack([l[k]["w"] for l in layers])
         bs = None if layers[0][k]["b"] is None else \
-            jnp.stack([l[k]["b"] for l in layers])
+            _stack([l[k]["b"] for l in layers])
         stacked[k] = {"w": ws, "b": bs}
     for nk in layers[0]:
         if nk in keys:
             continue
         stacked[nk] = {
-            "w": jnp.stack([l[nk]["w"] for l in layers]),
+            "w": _stack([l[nk]["w"] for l in layers]),
             "b": None if layers[0][nk]["b"] is None else
-            jnp.stack([l[nk]["b"] for l in layers]),
+            _stack([l[nk]["b"] for l in layers]),
         }
     return stacked
+
+
+def stacked_num_layers(stacked: dict) -> int:
+    """Leading (layer) dimension of the stacked representation."""
+    return jax.tree.leaves(stacked)[0].shape[0]
+
+
+def slice_stacked_weight(stacked: dict, key: str, idx: int):
+    """Layer idx's dense weight sliced from the stack — the candidate
+    source when per-layer leaves live on host (no re-upload)."""
+    return stacked[key]["w"][idx]
 
 
 # the scan evaluators vmap candidates over this forward, multiplying the
@@ -85,9 +108,32 @@ def stack_layers(params: dict, spec) -> dict:
 _SCAN_BLOCK_MIN_SQ = 1024
 
 
-def _attention_scan(spec, layer, x, cos, sin, mask):
+def _stat_contrib(x, collect):
+    """Per-call input-statistics contribution of one linear, matching
+    decoder.apply_linear (ref act_aware_utils.py:64-74): abs_mean = mean
+    over the sequence axis of |x| in f32, summed over batch rows; abs_max =
+    elementwise max over all leading axes."""
+    absx = jnp.abs(x.astype(jnp.float32))
+    flat = absx.reshape(-1, x.shape[-2], x.shape[-1]) if absx.ndim > 2 \
+        else absx[None]
+    if collect == "abs_mean":
+        return flat.mean(axis=-2).sum(axis=0)
+    if collect == "abs_max":
+        return flat.max(axis=(0, 1))
+    raise ValueError(f"unknown stats method {collect!r}")
+
+
+def _rec(stats, collect, key, x):
+    if stats is not None:
+        stats[key] = _stat_contrib(x, collect)
+
+
+def _attention_scan(spec, layer, x, cos, sin, mask, stats=None, collect=None):
     B, S, _ = x.shape
     H, KV, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    _rec(stats, collect, "q_proj", x)
+    _rec(stats, collect, "k_proj", x)
+    _rec(stats, collect, "v_proj", x)
     q = dense_apply(x, layer["q_proj"]["w"], layer["q_proj"]["b"]).reshape(B, S, H, hd)
     k = dense_apply(x, layer["k_proj"]["w"], layer["k_proj"]["b"]).reshape(B, S, KV, hd)
     v = dense_apply(x, layer["v_proj"]["w"], layer["v_proj"]["b"]).reshape(B, S, KV, hd)
@@ -116,21 +162,26 @@ def _attention_scan(spec, layer, x, cos, sin, mask):
                          precision=attn_precision(v.dtype)).astype(x.dtype)
         out = out.reshape(B, S, H * hd)
     o_key = "o_proj" if "o_proj" in layer else "out_proj"
+    _rec(stats, collect, o_key, out)
     return dense_apply(out, layer[o_key]["w"], layer[o_key]["b"])
 
 
-def _layer_scan_body(spec, x, layer, cos, sin, mask):
+def _layer_scan_body(spec, x, layer, cos, sin, mask, stats=None,
+                     collect=None):
     if spec.family == "opt":
         residual = x
         h = apply_norm(spec, layer["ln1"], x) if spec.do_layer_norm_before else x
-        x = residual + _attention_scan(spec, layer, h, cos, sin, mask)
+        x = residual + _attention_scan(spec, layer, h, cos, sin, mask,
+                                       stats, collect)
         if not spec.do_layer_norm_before:
             x = apply_norm(spec, layer["ln1"], x)
         residual = x
         h = apply_norm(spec, layer["ln2"], x) if spec.do_layer_norm_before else x
-        h = dense_apply(_activation(spec, dense_apply(
-            h, layer["fc1"]["w"], layer["fc1"]["b"])),
-            layer["fc2"]["w"], layer["fc2"]["b"])
+        _rec(stats, collect, "fc1", h)
+        h = _activation(spec, dense_apply(h, layer["fc1"]["w"],
+                                          layer["fc1"]["b"]))
+        _rec(stats, collect, "fc2", h)
+        h = dense_apply(h, layer["fc2"]["w"], layer["fc2"]["b"])
         x = residual + h
         if not spec.do_layer_norm_before:
             x = apply_norm(spec, layer["ln2"], x)
@@ -138,15 +189,18 @@ def _layer_scan_body(spec, x, layer, cos, sin, mask):
 
     residual = x
     h = apply_norm(spec, layer["ln1"], x)
-    attn = _attention_scan(spec, layer, h, cos, sin, mask)
+    attn = _attention_scan(spec, layer, h, cos, sin, mask, stats, collect)
     if spec.post_attn_out_norm:
         attn = apply_norm(spec, layer["ln1_post"], attn)
     x = residual + attn
     residual = x
     h = apply_norm(spec, layer["ln2"], x)
+    _rec(stats, collect, "gate_proj", h)
+    _rec(stats, collect, "up_proj", h)
     gate = _activation(spec, dense_apply(h, layer["gate_proj"]["w"],
                                          layer["gate_proj"]["b"]))
     up = dense_apply(h, layer["up_proj"]["w"], layer["up_proj"]["b"])
+    _rec(stats, collect, "down_proj", gate * up)
     mlp = dense_apply(gate * up, layer["down_proj"]["w"],
                       layer["down_proj"]["b"])
     if spec.post_mlp_out_norm:
@@ -217,11 +271,10 @@ def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None,
     depth)."""
     B, S = input_ids.shape
     x, cos, sin = embed_scan_inputs(params, input_ids, spec)
-    L = len(params["layers"])
-    global_mask, sliding_mask, flags = scan_masks(spec, L, S, pad_mask)
-
     if stacked is None:
         stacked = stack_layers(params, spec)
+    L = stacked_num_layers(stacked)
+    global_mask, sliding_mask, flags = scan_masks(spec, L, S, pad_mask)
 
     def body(x, scanned):
         layer, sliding, idx = scanned
@@ -237,6 +290,58 @@ def forward_hidden_scan(params, input_ids, spec, *, pad_mask=None,
     x, _ = jax.lax.scan(body, x, (stacked, flags,
                                   jnp.arange(L, dtype=jnp.int32)))
     return _finish_hidden(params, spec, x)
+
+
+def forward_stats_scan(params, input_ids, spec, *, stacked, collect,
+                       pad_mask=None):
+    """Stats-collecting forward over the STACKED layer representation —
+    the host-master-residency twin of decoder.forward_with_stats (which
+    needs per-layer device leaves): one lax.scan whose per-step stats
+    outputs stack to [L, in_features] per linear key, so the program is
+    O(1) in depth and the decoder weights exist on device exactly once.
+
+    Returns (layer_stats {key: [L, in]}, extra_stats {name: [in]}) with
+    the same per-call contribution semantics as decoder.apply_linear
+    (ref act_aware_utils.py:64-74); the caller combines across batches.
+    `params` may omit "layers" entirely (slim head-params)."""
+    B, S = input_ids.shape
+    extra: dict = {}
+    x = params["embed_tokens"][input_ids]
+    if spec.embed_scale != 1.0:
+        x = x * jnp.asarray(spec.embed_scale, dtype=x.dtype)
+    if params.get("project_in") is not None:
+        _rec(extra, collect, "model.decoder.project_in", x)
+        x = dense_apply(x, params["project_in"]["w"],
+                        params["project_in"]["b"])
+    positions = jnp.arange(S, dtype=jnp.int32)
+    if spec.pos_emb == "learned":
+        x = x + params["embed_positions"][positions + spec.pos_offset]
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
+    L = stacked_num_layers(stacked)
+    global_mask, sliding_mask, flags = scan_masks(spec, L, S, pad_mask)
+
+    def body(x, scanned):
+        layer, sliding = scanned
+        mask = jnp.where(sliding, sliding_mask, global_mask)
+        st: dict = {}
+        x = _layer_scan_body(spec, x, layer, cos, sin, mask, stats=st,
+                             collect=collect)
+        return x, st
+
+    x, layer_stats = jax.lax.scan(body, x, (stacked, flags))
+    if spec.final_norm and params.get("final_norm") is not None:
+        x = apply_norm(spec, params["final_norm"], x)
+    if params.get("project_out") is not None:
+        _rec(extra, collect, "model.decoder.project_out", x)
+        x = dense_apply(x, params["project_out"]["w"],
+                        params["project_out"]["b"])
+    # lm_head stats fire on the finished hidden whether or not the head is
+    # tied (decoder.apply_lm_head; the reference's hook covers lm_head only
+    # when it is a distinct nn.Linear, but ours matches forward_with_stats)
+    _rec(extra, collect, "lm_head", x)
+    return layer_stats, extra
 
 
 def _index_stacked(stacked, i):
@@ -263,7 +368,7 @@ def forward_hidden_scan_from(params, hidden, spec, *, stacked, start,
         cos = sin = None
     else:
         cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
-    L = len(params["layers"])
+    L = stacked_num_layers(stacked)
     global_mask, sliding_mask, flags = scan_masks(spec, L, S, pad_mask)
 
     def body(x, i):
@@ -296,7 +401,7 @@ def apply_stacked_layer(params, hidden, spec, *, stacked, idx,
         cos = sin = None
     else:
         cos, sin = rope_cos_sin(positions, spec.head_dim, spec.rope_theta)
-    L = len(params["layers"])
+    L = stacked_num_layers(stacked)
     global_mask, sliding_mask, flags = scan_masks(spec, L, S, pad_mask)
     layer = _index_stacked(stacked, idx)
     mask = jnp.where(flags[idx], sliding_mask, global_mask)

@@ -70,6 +70,25 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
                 allow_synthetic_fallback=allow_synthetic_fallback,
                 fixed_alpaca_template=cfg.fixed_alpaca_template)
 
+    # single-chip models too large to duplicate in HBM (7B on a 16 GB
+    # v5e): per-layer masters move to host; the device holds ONE working
+    # representation per phase — the stacked scan arrays through the
+    # calib/scan phases, then the growing compressed model
+    # (models/hostmem.py). Runs after calib-data generation (selfgen
+    # decodes with the device-resident model) and is skipped in fisher
+    # mode (the backward needs per-layer device leaves).
+    from asvd4llm_tpu.models import hostmem
+    from asvd4llm_tpu.models.scan_forward import can_scan, stack_layers
+    stacked = None
+    if ((hostmem.is_host_layers(params) or hostmem.should_offload(
+            params, mesh)) and can_scan(params, spec)
+            and "fisher" not in cfg.scaling_method
+            and cfg.sensitivity_metric == "ppl"):
+        if not hostmem.is_host_layers(params):
+            params = hostmem.offload_layers(params)
+        with phase("stack_layers"):
+            stacked = stack_layers(params, spec)
+
     fisher = None
     stats = None
     if "fisher" in cfg.scaling_method:
@@ -83,23 +102,33 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
         with phase("calib_stats"):
             stats = calib_input_distribution(params, spec, calib_loader,
                                              cfg.scaling_method, cache=cache,
-                                             cache_key=cfg.calib_key())
+                                             cache_key=cfg.calib_key(),
+                                             stacked=stacked)
 
     with phase("sensitivity"):
         if cfg.sensitivity_metric == "ppl":
             sensitivity = calib_sensitivity_ppl(params, spec, calib_loader,
                                                 cfg, stats=stats,
                                                 fisher=fisher, cache=cache,
-                                                mesh=mesh)
+                                                mesh=mesh, stacked=stacked)
         else:
             sensitivity = calib_sensitivity_stable_rank(params, spec,
                                                         calib_loader, cfg,
                                                         cache=cache)
 
+    # the stacked scan arrays are the search/decompose phases' HBM budget
+    del stacked
+
     with phase("binary_search"):
         compressed, manifest = binary_search_truncation_rank(
             params, spec, sensitivity, calib_loader, cfg,
             stats=stats, fisher=fisher)
+
+    if hostmem.is_host_layers(compressed):
+        # dense-kept layers re-upload ONCE; the eval phase must not pay a
+        # host transfer per jit call
+        with phase("device_put_compressed"):
+            compressed = hostmem.device_put_dense_leaves(compressed)
 
     if cfg.weight_quant != "none":
         from asvd4llm_tpu.ops.quant_apply import quantize_model_weights

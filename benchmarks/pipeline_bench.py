@@ -89,6 +89,13 @@ def main(argv=None):
     # through the TPU tunnel) are one-time costs a production run doesn't
     # repeat; rep 1 is recorded as the cold run
     ap.add_argument("--reps", type=int, default=1)
+    # full pipeline mode: host-master residency (models/hostmem.py) at any
+    # depth (the canonical 32-layer 7B scan on one 16 GB chip), plus the
+    # final decompose and a windowed PPL eval — the COMPLETE pipeline
+    # measured, not projected
+    ap.add_argument("--host_master", action="store_true")
+    ap.add_argument("--eval_tokens", type=int, default=0,
+                    help="windowed-eval token count (0 = skip)")
     ns = ap.parse_args(argv)
     import logging
     logging.basicConfig(
@@ -108,7 +115,21 @@ def main(argv=None):
     spec = llama_spec(vocab_size=VOCAB, hidden_size=H, intermediate_size=I,
                       num_layers=layers, num_heads=32, num_kv_heads=32,
                       head_dim=128, max_position_embeddings=seqlen + 64)
-    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    from asvd4llm_tpu.models import hostmem
+    if ns.host_master:
+        # init per-layer weights straight on host: at 32 layers the model
+        # + init transients would not fit in HBM, and host is where the
+        # masters live anyway (models/hostmem.py)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_params(spec, jax.random.PRNGKey(0),
+                                 dtype=jnp.bfloat16)
+        host_layers = jax.tree.map(np.asarray, params["layers"])
+        rest = jax.tree.map(jax.device_put,
+                            {k: v for k, v in params.items()
+                             if k != "layers"})
+        params = {**rest, "layers": host_layers}
+    else:
+        params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     loader = [{"input_ids": rng.randint(0, VOCAB, size=(1, seqlen))}
               for _ in range(n_calib)]
@@ -119,31 +140,61 @@ def main(argv=None):
                      eval_dtype="bfloat16", use_cache=False)
 
     cold = None
+    t_stack = t_eval = 0.0
+    eval_ppl = None
     for rep in range(max(ns.reps, 1)):
+        stacked = None
+        t_stack = 0.0
+        if ns.host_master:
+            from asvd4llm_tpu.models.scan_forward import stack_layers
+            t0 = time.time()
+            stacked = stack_layers(params, spec)
+            jax.block_until_ready(stacked)
+            t_stack = time.time() - t0
+
         t0 = time.time()
         stats = calib_input_distribution(params, spec, loader,
-                                         cfg.scaling_method)
+                                         cfg.scaling_method, stacked=stacked)
         jax.block_until_ready(list(stats.values()))
         t_stats = time.time() - t0
 
         timings = []
         t0 = time.time()
         sens = calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats,
-                                     timings=timings)
+                                     timings=timings, stacked=stacked)
         t_scan = time.time() - t0
         n_points = sum(len(v) for v in sens.values())
+        del stacked  # free the scan working set before the decompose grows
 
         t0 = time.time()
         compressed, manifest = binary_search_truncation_rank(
             params, spec, sens, loader, cfg, stats=stats)
+        if ns.host_master:
+            from asvd4llm_tpu.models.hostmem import device_put_dense_leaves
+            compressed = device_put_dense_leaves(compressed)
+        jax.block_until_ready(compressed["layers"][0])
         t_search = time.time() - t0
-        print(json.dumps({"rep": rep, "stats_s": round(t_stats, 1),
+
+        t_eval = 0.0
+        if ns.eval_tokens > 0:
+            from asvd4llm_tpu.eval.ppl import evaluate_ppl_windowed
+            toks = rng.randint(0, VOCAB, size=(ns.eval_tokens,))
+            t0 = time.time()
+            eval_ppl = evaluate_ppl_windowed(compressed, spec, toks,
+                                             seqlen=seqlen)
+            t_eval = time.time() - t0
+        del compressed
+        print(json.dumps({"rep": rep, "stack_s": round(t_stack, 1),
+                          "stats_s": round(t_stats, 1),
                           "scan_s": round(t_scan, 1),
-                          "search_s": round(t_search, 1)}), flush=True)
+                          "search_s": round(t_search, 1),
+                          "eval_s": round(t_eval, 1)}), flush=True)
         if rep == 0:
-            cold = {"calib_stats": round(t_stats, 1),
+            cold = {"stack_layers": round(t_stack, 1),
+                    "calib_stats": round(t_stats, 1),
                     "sensitivity_scan": round(t_scan, 1),
-                    "binary_search": round(t_search, 1)}
+                    "binary_search_and_decompose": round(t_search, 1),
+                    "windowed_eval": round(t_eval, 1)}
 
     scale_depth = FULL / layers
     scan_fit = project_scan(timings, layers, FULL)
@@ -152,10 +203,16 @@ def main(argv=None):
                      "layers": layers, "n_calib": n_calib,
                      "seqlen": seqlen},
         "backend": jax.default_backend(),
-        "measured_s": {"calib_stats": round(t_stats, 1),
+        "host_master": bool(ns.host_master),
+        "measured_s": {"stack_layers": round(t_stack, 1),
+                       "calib_stats": round(t_stats, 1),
                        "sensitivity_scan": round(t_scan, 1),
-                       "binary_search": round(t_search, 1),
-                       "total": round(t_stats + t_scan + t_search, 1)},
+                       "binary_search_and_decompose": round(t_search, 1),
+                       "windowed_eval": round(t_eval, 1),
+                       "total": round(t_stack + t_stats + t_scan + t_search
+                                      + t_eval, 1)},
+        "eval_ppl_synthetic": (None if eval_ppl is None
+                               else round(float(eval_ppl), 2)),
         "scan_points": n_points,
         "manifest_layers": len(manifest),
         "per_name_scan_s": [(n, li, round(dt, 2)) for n, li, dt in timings],
