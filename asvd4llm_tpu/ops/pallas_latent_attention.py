@@ -40,9 +40,21 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
-def _group_chunk(KV: int) -> int:
-    """KV-head groups folded into one cross-dot (see _qk_group_logits)."""
-    return min(KV, 8)
+def _group_chunk(KV: int, rep: int) -> int:
+    """KV-head groups folded into one cross-dot (see _qk_group_logits).
+
+    The fold trades gc x redundant FLOPs for gc x fewer MXU dispatches —
+    a win exactly when the per-dot M dimension (= rep) is tiny. At GQA
+    (rep >= 2) the M=rep dots are pure dispatch latency and folding 8
+    groups measured fastest (attn_micro_r3 -> r4). At MHA (rep == 1)
+    there is no dispatch deficit to buy back and gc=8 REGRESSED the paged
+    kernels 9-43% at T=4096 (attn_micro_r4 vs r3); keep the per-group
+    form there. ASVD_ATTN_GC overrides for on-chip sweeps."""
+    import os
+    env = os.environ.get("ASVD_ATTN_GC")
+    if env:
+        return max(1, min(KV, int(env)))
+    return min(KV, 8) if rep > 1 else 1
 
 
 def _qk_group_logits(q, k_flat, KV, rep, hd, TT):
@@ -57,7 +69,7 @@ def _qk_group_logits(q, k_flat, KV, rep, hd, TT):
     replaces gc small ones — then slice out the diagonal [rep, TT] blocks.
 
     q [H, hd] f32; k_flat [TT, KV*hd] f32 -> logits [H, TT] f32."""
-    gc = _group_chunk(KV)
+    gc = _group_chunk(KV, rep)
     blocks = []
     for c0 in range(0, KV, gc):
         qc = q[c0 * rep:(c0 + gc) * rep, :]              # [gc*rep, hd]
@@ -79,7 +91,7 @@ def _pv_group_numerator(p, v_flat, KV, rep, hd, TT):
     (same latency argument as _qk_group_logits).
 
     p [H, TT]; v_flat [TT, KV*hd] -> s [H, hd]."""
-    gc = _group_chunk(KV)
+    gc = _group_chunk(KV, rep)
     blocks = []
     for c0 in range(0, KV, gc):
         pc = p[c0 * rep:(c0 + gc) * rep, :]              # [gc*rep, TT]

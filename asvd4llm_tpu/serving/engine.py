@@ -64,14 +64,27 @@ class PagedEngine:
 
     def __init__(self, params, spec, *, max_batch: int = 4,
                  page_size: int = 64, num_pages: int = 128,
-                 max_pages_per_seq: int = 8, latent=False,
+                 max_pages_per_seq: int = 8, latent="auto",
                  eos_token_id=None, dtype=jnp.float32,
-                 use_pallas: bool = False, temperature: float = 0.0,
+                 use_pallas: bool | None = None, temperature: float = 0.0,
                  top_p: float = 1.0, seed: int = 0,
-                 prefill_chunk: int = 0, prefix_cache: int = 0):
+                 prefill_chunk: int = 0, prefix_cache: int = 0,
+                 prefer_memory: bool = False):
         self.params, self.spec = params, spec
         self.page_size = page_size
         self.eos_token_id = eos_token_id
+        if latent == "auto" or use_pallas is None:
+            # measured-envelope defaults (serving/layout.py): latent-V
+            # when v_proj ranks realize a saving, fused kernels when the
+            # kernel contract holds
+            from asvd4llm_tpu.serving.layout import choose_layout
+            dec = choose_layout(params, spec, prefer_memory=prefer_memory)
+            if latent == "auto":
+                latent = dec.latent
+            if use_pallas is None:
+                use_pallas = dec.use_pallas
+            log.info("layout auto-selection: latent=%r use_pallas=%s — %s",
+                     dec.latent, dec.use_pallas, dec.reason)
         self.use_pallas = use_pallas
         # prefill_chunk > 0: admission runs chunked paged appends — one
         # compiled program for ALL prompt lengths (a fresh prefill shape

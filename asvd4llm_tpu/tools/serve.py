@@ -34,15 +34,21 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--native", action="store_true",
                    help="load an Orbax+manifest checkpoint")
-    p.add_argument("--latent_kv", nargs="?", const="kv", default=False,
-                   choices=["kv", "v"],
-                   help="latent cache mode: 'kv' = rank-dim k+v latents "
-                        "(max memory saving; pays at GQA geometry), 'v' = "
-                        "dense K + latent V (smaller AND faster at MHA "
-                        "geometry — see DESIGN.md §7). Bare --latent_kv "
+    p.add_argument("--latent_kv", nargs="?", const="kv", default="auto",
+                   choices=["kv", "v", "auto", "dense"],
+                   help="latent cache mode. Default 'auto' picks from the "
+                        "measured envelope (serving/layout.py): latent-V "
+                        "when v_proj ranks realize a saving (>= dense "
+                        "throughput), dense otherwise. 'kv' forces fused "
+                        "rank-dim k+v latents (max memory saving at "
+                        "measured 0.46-0.95x throughput). Bare --latent_kv "
                         "means 'kv'. Applies to layers with low-rank k/v.")
-    p.add_argument("--use_pallas", action="store_true",
-                   help="fused Pallas decode kernels")
+    p.add_argument("--use_pallas", default=None, action="store_true",
+                   help="force fused Pallas decode kernels (default: auto "
+                        "— on when the kernel contract holds on TPU)")
+    p.add_argument("--prefer_memory", action="store_true",
+                   help="auto layout optimizes cache bytes over "
+                        "throughput (picks fused latent-KV when possible)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--prefix_cache", type=int, default=0,
                    help="max cached prompt prefixes for automatic prefix "
@@ -76,9 +82,10 @@ def main(argv=None):
             params, spec, max_batch=min(8, len(enc)),
             page_size=args.page_size, num_pages=args.num_pages,
             max_pages_per_seq=pages_needed(longest, args.page_size) + 1,
-            latent="kv" if args.latent_kv == "kv" else args.latent_kv,
+            latent=(False if args.latent_kv == "dense" else args.latent_kv),
             eos_token_id=tokenizer.eos_token_id, dtype=dtype,
             use_pallas=args.use_pallas, temperature=args.temperature,
+            prefer_memory=args.prefer_memory,
             prefill_chunk=args.page_size if args.prefix_cache else 0,
             prefix_cache=args.prefix_cache)
         t0 = time.time()
@@ -115,11 +122,24 @@ def main(argv=None):
                               temperature=args.temperature)
     else:
         from asvd4llm_tpu.eval.generate import generate_auto
+        latent_kv, use_pallas = args.latent_kv, args.use_pallas
+        if latent_kv == "auto" or use_pallas is None:
+            from asvd4llm_tpu.serving.layout import choose_layout
+            dec = choose_layout(params, spec,
+                                prefer_memory=args.prefer_memory)
+            if latent_kv == "auto":
+                latent_kv = dec.latent
+            if use_pallas is None:
+                use_pallas = dec.use_pallas
+            print(f"[layout auto: latent={dec.latent!r} "
+                  f"use_pallas={dec.use_pallas} — {dec.reason}]",
+                  file=sys.stderr)
         out = generate_auto(params, spec, ids,
                             max_new_tokens=args.max_new_tokens,
                             eos_token_id=tokenizer.eos_token_id,
-                            latent_kv=args.latent_kv,
-                            use_pallas=args.use_pallas)
+                            latent_kv=(False if latent_kv == "dense"
+                                       else latent_kv),
+                            use_pallas=use_pallas)
     dt = time.time() - t0
     n_new = out.shape[1] - ids.shape[1]
     text = tokenizer.decode(out[0].tolist())

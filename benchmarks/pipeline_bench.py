@@ -96,6 +96,11 @@ def main(argv=None):
     ap.add_argument("--host_master", action="store_true")
     ap.add_argument("--eval_tokens", type=int, default=0,
                     help="windowed-eval token count (0 = skip)")
+    # geometry overrides (CPU smoke tests of the host-master path)
+    ap.add_argument("--hidden", type=int, default=4096)
+    ap.add_argument("--inter", type=int, default=11008)
+    ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--heads", type=int, default=32)
     ns = ap.parse_args(argv)
     import logging
     logging.basicConfig(
@@ -112,9 +117,11 @@ def main(argv=None):
         pass
 
     layers, n_calib, seqlen = ns.layers, ns.n_calib, ns.seqlen
+    H, I, VOCAB = ns.hidden, ns.inter, ns.vocab
     spec = llama_spec(vocab_size=VOCAB, hidden_size=H, intermediate_size=I,
-                      num_layers=layers, num_heads=32, num_kv_heads=32,
-                      head_dim=128, max_position_embeddings=seqlen + 64)
+                      num_layers=layers, num_heads=ns.heads,
+                      num_kv_heads=ns.heads, head_dim=H // ns.heads,
+                      max_position_embeddings=seqlen + 64)
     from asvd4llm_tpu.models import hostmem
     if ns.host_master:
         # init per-layer weights straight on host: at 32 layers the model

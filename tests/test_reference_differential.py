@@ -66,6 +66,33 @@ def test_llama_kv_cache_mode_parity(tmp_path):
                for k in out["ref"]["manifest"])
 
 
+def test_llama_gqa_weight_mode_parity(tmp_path):
+    """GQA geometry (kv_heads < heads, kv_dim < hidden): the k/v
+    projections are rectangular [kv_dim, hidden] — rank accounting and
+    the scan cover a regime every other scenario misses (the reference
+    supports GQA Llama via transformers' num_key_value_heads)."""
+    out = diff.run_differential(_cfg(param_ratio_target=0.85),
+                                str(tmp_path), family="llama",
+                                heads=4, kv_heads=2, hidden=32)
+    _assert_parity(out)
+    assert any("k_proj" in k or "v_proj" in k
+               for k in out["ref"]["sensitivity"])
+
+
+def test_llama_gqa_kv_cache_mode_parity(tmp_path):
+    """KV-cache mode on GQA: the KV grid (to 1.9) against [kv_dim, hidden]
+    projections where ratio-1.0 rank = numel/(in+out) < kv_dim — exactly
+    where the r3 rank-truncation bug lived (ref binary_search.py:29-36,
+    94-96; sensitivity.py:36-39)."""
+    out = diff.run_differential(
+        _cfg(compress_kv_cache=True, kv_cache_ratio_target=0.6,
+             param_ratio_target=-1.0),
+        str(tmp_path), family="llama", heads=4, kv_heads=2, hidden=32)
+    _assert_parity(out)
+    assert all("k_proj" in k or "v_proj" in k
+               for k in out["ref"]["manifest"])
+
+
 def test_llama_fisher_ppl_target_parity(tmp_path):
     """Fisher scaling (with the reference's double-shift loss reproduced
     via fisher_double_shift) + ppl-target search mode, act_aware search."""
