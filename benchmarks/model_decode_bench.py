@@ -160,6 +160,21 @@ def main(argv=None):
                     rec["dense"]["step_us"] / rec[m]["step_us"], 3)
                 rec[f"{m}_cache_ratio"] = round(
                     rec[m]["cache_mb"] / rec["dense"]["cache_mb"], 3)
+            # the auto layout selector's pick on the kv-compressed model,
+            # scored against THIS run's measured rows (serving/layout.py:
+            # auto must never lose to dense while realizing cache saving)
+            from asvd4llm_tpu.serving.layout import choose_layout
+            for label, prefer in (("auto", False), ("auto_mem", True)):
+                dec = choose_layout(latent_m, spec, prefer_memory=prefer)
+                picked = {False: "dense", "v": "latent_v",
+                          "kv": "latent_fused"}[dec.latent]
+                rec[label] = {
+                    "picked": picked, "use_pallas": dec.use_pallas,
+                    "vs_dense": round(rec["dense"]["step_us"]
+                                      / rec[picked]["step_us"], 3),
+                    "cache_ratio": round(rec[picked]["cache_mb"]
+                                         / rec["dense"]["cache_mb"], 3),
+                }
             out["runs"][f"{geo_name}_T{T}"] = rec
             print(json.dumps({f"{geo_name}_T{T}": rec}), flush=True)
 

