@@ -236,21 +236,21 @@ def _artifact_summary():
                         "benchmarks", "results")
     out = {}
     try:
-        d = _load_first(base, "model_decode_bench_r3b.json",
-                        "model_decode_bench_r3.json",
-                        "model_decode_bench_r2b.json")["runs"]
+        d = _load_first(base, "model_decode_bench_r4b.json",
+                        "model_decode_bench_r4.json",
+                        "model_decode_bench_r3.json")["runs"]
         out["full_model_decode"] = {
             k: {m: d[k][m] for m in
                 ("lowrank_vs_dense", "latent_fused_vs_dense",
                  "latent_fused_cache_ratio", "latent_v_vs_dense",
-                 "latent_v_cache_ratio") if m in d[k]}
+                 "latent_v_cache_ratio", "auto") if m in d[k]}
             for k in d}
     except Exception:
         pass
     try:
-        d = _load_first(base, "serving_bench_r3b.json",
-                        "serving_bench_r3.json",
-                        "serving_bench_r2.json")["runs"]
+        d = _load_first(base, "serving_bench_r4b.json",
+                        "serving_bench_r4.json",
+                        "serving_bench_r3.json")["runs"]
         out["paged_serving"] = {
             "dense_paged_vs_flat": d.get("dense_paged_vs_dense_flat"),
             "latent_paged_fused_vs_flat":
@@ -261,30 +261,58 @@ def _artifact_summary():
         if "dense_admission_chunked" in d:
             out["paged_serving"]["admission_included_gen_tok_s"] = \
                 d["dense_admission_chunked"].get("gen_tokens_per_sec")
+        for k in ("dense_paged", "dense_paged_b16", "q8_lowrank_paged",
+                  "q8_lowrank_paged_b16"):
+            if k in d:
+                out["paged_serving"][k] = {
+                    "tok_s": d[k].get("decode_tokens_per_sec"),
+                    "roofline_utilization":
+                        d[k].get("roofline_utilization")}
     except Exception:
         pass
     try:
-        d = _load_first(base, "pipeline_bench_r3.json",
-                        "pipeline_bench_r2.json")
+        d = _load_first(base, "prefix_cache_r4.json")
+        out["prefix_cache"] = {
+            "speedup_wall": d.get("speedup_wall"),
+            "ttft_p50_off_on_s": [
+                d["runs"]["prefix_cache_off"]["ttft_p50_s"],
+                d["runs"]["prefix_cache_on"]["ttft_p50_s"]]}
+    except Exception:
+        pass
+    try:
+        d = _load_first(base, "pipeline_bench_r4_full.json",
+                        "pipeline_bench_r3.json")
         out["pipeline_7b_dims"] = {
             "measured_s": d["measured_s"],
-            "projected_full_7b_s": d["projected_full_7b_s"]["total"],
             "layers_measured": d["geometry"]["layers"],
+            "host_master": d.get("host_master"),
+            "cold_run_s": d.get("cold_run_s"),
             "eval_budget_vs_canonical": d.get("eval_budget_vs_canonical"),
             "run_kind": d.get("run_kind"),
         }
+        if d["geometry"]["layers"] < 32:
+            out["pipeline_7b_dims"]["projected_full_7b_s"] = \
+                d["projected_full_7b_s"]["total"]
     except Exception:
         pass
-    try:
-        d = _load_first(base, "differential_production_r3.json")
-        out["differential_production"] = {
-            "parity": d["parity"],
-            "shapes": d["shapes"],
-            "rank_align": d["rank_align"],
-            "ref_ppl": d["ref_ppl"], "our_ppl": d["our_ppl"],
-        }
-    except Exception:
-        pass
+    for label, names in (
+            ("differential_production", ("differential_production_r3.json",)),
+            ("differential_production_kv",
+             ("differential_production_kv_r3b.json",)),
+            ("differential_production_gqa",
+             ("differential_production_gqa_r4.json",)),
+            ("differential_production_gqa_kv",
+             ("differential_production_gqa_kv_r4.json",))):
+        try:
+            d = _load_first(base, *names)
+            out[label] = {
+                "parity": d["parity"],
+                "shapes": d["shapes"],
+                "rank_align": d["rank_align"],
+                "ref_ppl": d["ref_ppl"], "our_ppl": d["our_ppl"],
+            }
+        except Exception:
+            pass
     try:
         d = _load_first(base, "svd_accuracy_r3.json")["runs"]
         out["svd_accuracy"] = {
@@ -295,6 +323,15 @@ def _artifact_summary():
                     v["randomized_vs_exact_err_ratio"]
                 for k, v in d.items() if k.startswith("mlp_decay_")},
         }
+    except Exception:
+        pass
+    try:
+        d = _load_first(base, "svd_bench_r4.json")
+        out["svd_backend"] = {
+            r["tag"]: {"exact_s": r["exact_s"],
+                       "randomized_s": r["randomized_s"],
+                       "speedup": r["speedup"]}
+            for r in d.get("results", [])}
     except Exception:
         pass
     return out
