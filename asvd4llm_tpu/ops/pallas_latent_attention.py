@@ -41,69 +41,87 @@ def _round_up(x, m):
 
 
 def _group_chunk(KV: int, rep: int) -> int:
-    """KV-head groups folded into one cross-dot (see _qk_group_logits).
+    """KV-head groups folded into one BLOCK-DIAGONAL dot per chunk (see
+    _qk_group_logits).
 
-    The fold trades gc x redundant FLOPs for gc x fewer MXU dispatches —
-    a win exactly when the per-dot M dimension (= rep) is tiny. At GQA
-    (rep >= 2) the M=rep dots are pure dispatch latency and folding 8
-    groups measured fastest (attn_micro_r3 -> r4). At MHA (rep == 1)
-    there is no dispatch deficit to buy back and gc=8 REGRESSED the paged
-    kernels 9-43% at T=4096 (attn_micro_r4 vs r3); keep the per-group
-    form there. ASVD_ATTN_GC overrides for on-chip sweeps."""
+    Per-group dots are [rep, hd]-sized M — pure MXU dispatch latency (at
+    MHA rep=1 that is 2*KV tiny dots per tile; measured ~3x off the HBM
+    roofline, attn_micro_r4b). Folding gc groups costs gc x redundant
+    FLOPs (multiplying the zero off-blocks) but the MXU is idle against
+    the page copy anyway: at P=256, hd=128, H=32 one gc=8 chunk dot is
+    ~17 MFLOP against a 2 MB page read — far under the copy time at any
+    gc. Unlike the round-3 cross-dot fold this form slices k_flat by
+    CONTIGUOUS columns (no row-concat copies) and the zero blocks make
+    the output exact (no diagonal extraction), so the fold no longer
+    regresses MHA. ASVD_ATTN_GC overrides for on-chip sweeps."""
     import os
     env = os.environ.get("ASVD_ATTN_GC")
     if env:
         return max(1, min(KV, int(env)))
-    return min(KV, 8) if rep > 1 else 1
+    return min(KV, 8)
+
+
+def _bd_mask(val, g, rep, hd):
+    """Zero everything outside the [rep, hd] diagonal blocks of a
+    [g*rep, g*hd] tile (row head-group == column kv-group)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g * rep, g * hd), 0) // rep
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g * rep, g * hd), 1) // hd
+    return jnp.where(rows == cols, val, 0.0)
 
 
 def _qk_group_logits(q, k_flat, KV, rep, hd, TT):
-    """Per-KV-group q·K logits via CHUNKED CROSS-DOTS.
+    """Per-KV-group q·K logits via BLOCK-DIAGONAL folded dots.
 
     The obvious per-group loop runs KV separate [rep, hd] x [TT, hd] dots —
-    at GQA rep=4 each is an M=4 MXU dot, pure latency (measured: the tile
-    loop of small dots, not bandwidth, dominated every kernel variant at
-    ~7x off the HBM roofline). Instead, fold gc groups into ONE
-    [gc*rep, hd] x [gc*TT, hd] dot — gc x redundant FLOPs (heads of group i
-    also score keys of group j) but the MXU is idle anyway and one big dot
-    replaces gc small ones — then slice out the diagonal [rep, TT] blocks.
+    each an M=rep MXU dot, pure latency (measured: the tile loop of small
+    dots, not bandwidth, dominated every kernel variant ~3-7x off the HBM
+    roofline). Instead fold gc groups into ONE dot by building a
+    block-diagonal query operand qbd [gc*rep, gc*hd] (head row h only
+    carries its own group's q values, zeros elsewhere): qbd @ kc^T with
+    kc = k_flat[:, c0*hd:(c0+gc)*hd] — a CONTIGUOUS column slice, no
+    copies — yields the exact [gc*rep, TT] logits in one MXU dispatch
+    (the zero blocks kill every cross-group term).
 
     q [H, hd] f32; k_flat [TT, KV*hd] f32 -> logits [H, TT] f32."""
     gc = _group_chunk(KV, rep)
     blocks = []
     for c0 in range(0, KV, gc):
-        qc = q[c0 * rep:(c0 + gc) * rep, :]              # [gc*rep, hd]
-        # keys of groups c0..c0+gc stacked along rows: [gc*TT, hd]
-        kc = jnp.concatenate(
-            [k_flat[:, (c0 + j) * hd:(c0 + j + 1) * hd]
-             for j in range(gc)], axis=0)
-        cross = jax.lax.dot_general(
+        g = min(gc, KV - c0)
+        qc = q[c0 * rep:(c0 + g) * rep, :]               # [g*rep, hd]
+        kc = k_flat[:, c0 * hd:(c0 + g) * hd]            # [TT, g*hd]
+        if g > 1:
+            qc = _bd_mask(jnp.concatenate([qc] * g, axis=1), g, rep, hd)
+        blocks.append(jax.lax.dot_general(
             qc, kc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [gc*rep, gc*TT]
-        for j in range(gc):
-            blocks.append(cross[j * rep:(j + 1) * rep,
-                                j * TT:(j + 1) * TT])    # [rep, TT]
-    return jnp.concatenate(blocks, axis=0)               # [H, TT]
+            preferred_element_type=jnp.float32))         # [g*rep, TT]
+    return jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
 
 
 def _pv_group_numerator(p, v_flat, KV, rep, hd, TT):
-    """Per-KV-group probs·V numerator via one cross-dot per group chunk
-    (same latency argument as _qk_group_logits).
+    """Per-KV-group probs·V numerator, one dot per group chunk.
+
+    The fold here cannot zero its inputs (p is dense over keys), so the
+    [g*rep, g*hd] result carries garbage cross-group terms; mask them to
+    the diagonal blocks and reduce the group axis — a [g*rep, g, hd]
+    sublane reduction, ~g*H*hd VPU element ops per tile, trivia against
+    the page copy.
 
     p [H, TT]; v_flat [TT, KV*hd] -> s [H, hd]."""
     gc = _group_chunk(KV, rep)
     blocks = []
     for c0 in range(0, KV, gc):
-        pc = p[c0 * rep:(c0 + gc) * rep, :]              # [gc*rep, TT]
-        vc = v_flat[:, c0 * hd:(c0 + gc) * hd]           # [TT, gc*hd]
-        cross = jax.lax.dot_general(
+        g = min(gc, KV - c0)
+        pc = p[c0 * rep:(c0 + g) * rep, :]               # [g*rep, TT]
+        vc = v_flat[:, c0 * hd:(c0 + g) * hd]            # [TT, g*hd]
+        res = jax.lax.dot_general(
             pc.astype(v_flat.dtype), vc,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [gc*rep, gc*hd]
-        for j in range(gc):
-            blocks.append(cross[j * rep:(j + 1) * rep,
-                                j * hd:(j + 1) * hd])    # [rep, hd]
-    return jnp.concatenate(blocks, axis=0)               # [H, hd]
+            preferred_element_type=jnp.float32)          # [g*rep, g*hd]
+        if g > 1:
+            res = _bd_mask(res, g, rep, hd)
+            res = res.reshape(g * rep, g, hd).sum(axis=1)
+        blocks.append(res)                               # [g*rep, hd]
+    return jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
 
 
 def _online_tile(q_ref, tk_ref, tv_ref, ak_ref, cos_ref, sin_ref,

@@ -18,6 +18,9 @@ run() {
 run attn_micro_b   benchmarks/attn_micro_bench.py   --json benchmarks/results/attn_micro_r4b.json
 run model_decode_b benchmarks/model_decode_bench.py --json benchmarks/results/model_decode_bench_r4b.json
 run serving_b      benchmarks/serving_bench.py      --json benchmarks/results/serving_bench_r4b.json
+run prefix_cache_b benchmarks/prefix_cache_bench.py --json benchmarks/results/prefix_cache_r4b.json
+# VERDICT r3 #6: warm exact-vs-randomized timings with compile separated
+run svd_b          benchmarks/svd_bench.py          --json benchmarks/results/svd_bench_r4.json
 # full-depth memory probe + program pre-seed (n-independent SVD/search
 # programs compile here; also the cheap canary for 32-layer HBM fit)
 run pipeline_probe benchmarks/pipeline_bench.py --layers 32 --n_calib 2 --seqlen 2048 \
