@@ -371,10 +371,21 @@ def _paged_dense_core(q_rot, k_pool, v_pool, page_table, positions, *,
     v_latent = v_pool.ndim == 3
     SV = v_pool.shape[2] if v_latent else hd
 
+    # Logical pages past a sequence's length clamp to its LAST live page:
+    # consecutive grid steps then resolve to the same block and the
+    # pipeline skips the re-fetch, so ragged batches stop paying one
+    # scratch-page DMA per (trailing page, layer, step) — on the serving
+    # mix (prompts 256..4032, MP sized to the longest row) that waste was
+    # ~half of all page reads. Compute for those steps is already gated
+    # by `pl.when(pi * P <= pos)`.
+    def _pg(b, p, pt, pos, _P=P):
+        return pt[b, jnp.minimum(p, pos[b] // _P)]
+
     v_spec = pl.BlockSpec((1, P, v_pool.shape[2]),
-                          lambda b, p, pt, pos: (pt[b, p], 0, 0)) \
+                          lambda b, p, pt, pos: (_pg(b, p, pt, pos), 0, 0)) \
         if v_latent else \
-        pl.BlockSpec((1, P, KV, hd), lambda b, p, pt, pos: (pt[b, p], 0, 0, 0))
+        pl.BlockSpec((1, P, KV, hd),
+                     lambda b, p, pt, pos: (_pg(b, p, pt, pos), 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, MP),
@@ -386,7 +397,7 @@ def _paged_dense_core(q_rot, k_pool, v_pool, page_table, positions, *,
         in_specs=[
             pl.BlockSpec((1, H, hd), lambda b, p, pt, pos: (b, 0, 0)),
             pl.BlockSpec((1, P, KV, hd),
-                         lambda b, p, pt, pos: (pt[b, p], 0, 0, 0)),
+                         lambda b, p, pt, pos: (_pg(b, p, pt, pos), 0, 0, 0)),
             v_spec,
         ],
         out_specs=pl.BlockSpec((1, H, SV), lambda b, p, pt, pos: (b, 0, 0)),
@@ -467,12 +478,18 @@ def _paged_latent_core(q_rot, tk_pool, tv_pool, a_k, cos_full, sin_full,
             pltpu.VMEM((H, Rv), jnp.float32),
         ],
         in_specs=[
+            # trailing logical pages clamp to the row's last live page so
+            # the pipeline elides their DMAs (see _paged_dense_core)
             pl.BlockSpec((1, H, hd), lambda b, p, pt, pos: (b, 0, 0)),
-            pl.BlockSpec((1, P, Rk), lambda b, p, pt, pos: (pt[b, p], 0, 0)),
-            pl.BlockSpec((1, P, Rv), lambda b, p, pt, pos: (pt[b, p], 0, 0)),
+            pl.BlockSpec((1, P, Rk), lambda b, p, pt, pos:
+                         (pt[b, jnp.minimum(p, pos[b] // P)], 0, 0)),
+            pl.BlockSpec((1, P, Rv), lambda b, p, pt, pos:
+                         (pt[b, jnp.minimum(p, pos[b] // P)], 0, 0)),
             pl.BlockSpec((KV * hd, Rk), lambda b, p, pt, pos: (0, 0)),
-            pl.BlockSpec((P, hd), lambda b, p, pt, pos: (p, 0)),
-            pl.BlockSpec((P, hd), lambda b, p, pt, pos: (p, 0)),
+            pl.BlockSpec((P, hd), lambda b, p, pt, pos:
+                         (jnp.minimum(p, pos[b] // P), 0)),
+            pl.BlockSpec((P, hd), lambda b, p, pt, pos:
+                         (jnp.minimum(p, pos[b] // P), 0)),
         ],
         out_specs=pl.BlockSpec((1, H, Rv), lambda b, p, pt, pos: (b, 0, 0)),
     )

@@ -288,7 +288,8 @@ sample_rows_keyed_jit = jax.jit(
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "n_steps", "use_pallas",
-                                             "temperature", "top_p", "seed"))
+                                             "temperature", "top_p", "seed"),
+                   donate_argnames=("pools",))
 def paged_decode_scan(params, spec, token, pools, page_table, positions,
                       n_steps, use_pallas=False, temperature=0.0,
                       top_p=1.0, seed=0, rids=None):
@@ -505,7 +506,8 @@ def paged_append_batch(params, spec, ids, pools, page_table, pos0):
     return apply_lm_head(params, spec, x), new_pools
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
+@functools.partial(jax.jit, static_argnames=("spec",),
+                   donate_argnames=("pools",))
 def paged_append_batch_select(params, spec, ids, pools, page_table, pos0,
                               rows, cols):
     """paged_append_batch, but the lm_head runs ONLY on the gathered
