@@ -190,6 +190,45 @@ def _advance_rows(params, stacked, spec, hidden, idx, rb):
     return out
 
 
+def _ce_mean_chunked(head_params, spec, out, lab, ck=256):
+    """Mean next-token NLL per row WITHOUT materializing [..., S, vocab]
+    log-probs: the lm_head GEMM + stable logsumexp + label gather run one
+    ck-position slice at a time under lax.scan. At full 7B depth the
+    un-chunked log_softmax was the 32-layer OOM (f32 [6, 2047, 32000]
+    log-probs + a 1.95G padded layout copy — 3.4G of HLO temps on a
+    15.75G chip); slicing bounds the transient at [6, rb, ck, vocab].
+
+    out [..., S, H]; lab [..., S] int. Returns [...] mean NLL."""
+    from asvd4llm_tpu.models.decoder import apply_lm_head
+
+    S = out.shape[-2]
+    n_full = (S // ck) * ck
+    lead = out.shape[:-2]
+
+    def seg_nll(h_seg, l_seg):
+        z = apply_lm_head(head_params, spec, h_seg).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(z, axis=-1)
+        gold = jnp.take_along_axis(z, l_seg[..., None], axis=-1)[..., 0]
+        return (lse - gold).sum(axis=-1)            # [...]
+
+    total = jnp.zeros(lead, jnp.float32)
+    if n_full:
+        nseg = S // ck
+        h_chunks = jnp.moveaxis(
+            out[..., :n_full, :].reshape(*lead, nseg, ck, out.shape[-1]),
+            -3, 0)                                   # [nseg, ..., ck, H]
+        l_chunks = jnp.moveaxis(
+            lab[..., :n_full].reshape(*lead, nseg, ck), -2, 0)
+
+        def body(carry, xs):
+            h, l = xs
+            return carry + seg_nll(h, l), None
+        total, _ = jax.lax.scan(body, total, (h_chunks, l_chunks))
+    if n_full < S:
+        total = total + seg_nll(out[..., n_full:, :], lab[..., n_full:])
+    return total / S
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "leaf_key", "rb"))
 def _ppl_multi_ratio_suffix(params, stacked, spec, hidden, labels, leaf_key,
                             target, w_hats, rb):
@@ -201,7 +240,6 @@ def _ppl_multi_ratio_suffix(params, stacked, spec, hidden, labels, leaf_key,
     forward on average over a scan, and the suffix scan itself skips the
     prefix iterations via lax.cond (no weight fetch). Compiles once per
     (leaf_key, shapes) — O(1) in depth and independent of target."""
-    from asvd4llm_tpu.models.decoder import apply_lm_head
     from asvd4llm_tpu.models.scan_forward import forward_hidden_scan_from
 
     n = hidden.shape[0]
@@ -213,10 +251,7 @@ def _ppl_multi_ratio_suffix(params, stacked, spec, hidden, labels, leaf_key,
         out = forward_hidden_scan_from(params, h, spec, stacked=stacked,
                                        start=target,
                                        substitute=(leaf_key, target, w_hat))
-        logits = apply_lm_head(params, spec, out)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return -jnp.take_along_axis(logp, lab[..., None],
-                                    axis=-1)[..., 0].mean(axis=-1)
+        return _ce_mean_chunked(params, spec, out, lab)
 
     def eval_one(w_hat):
         def body(carry, xs):
@@ -236,7 +271,6 @@ def _ppl_head_grid(params, spec, hidden, labels, w_hats, bias, rb):
     ALL layers (pre final-norm) is fixed: each grid point costs one head
     GEMM + CE instead of the reference's full forward per ratio
     (ref sensitivity.py:43-59 applied to the lm_head module)."""
-    from asvd4llm_tpu.models.decoder import apply_lm_head
     from asvd4llm_tpu.models.scan_forward import _finish_hidden
 
     n = hidden.shape[0]
@@ -248,10 +282,7 @@ def _ppl_head_grid(params, spec, hidden, labels, w_hats, bias, rb):
         h_fin = _finish_hidden(params, spec, h)
         trial = dict(params)
         trial["lm_head"] = {"w": w_hat, "b": bias}
-        logits = apply_lm_head(trial, spec, h_fin)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return -jnp.take_along_axis(logp, lab[..., None],
-                                    axis=-1)[..., 0].mean(axis=-1)
+        return _ce_mean_chunked(trial, spec, h_fin, lab)
 
     def eval_one(w_hat):
         def body(carry, xs):

@@ -14,10 +14,10 @@ run() {
   rc=$?
   echo "=== [$(date +%H:%M:%S)] DONE  $name rc=$rc" | tee -a /tmp/r4logs/queue_gqa.log
 }
-run gqa_weight asvd4llm_tpu/tools/differential.py --preset production \
+run gqa_weight -m asvd4llm_tpu.tools.differential --preset production \
     --kv_heads 4 --param_ratio_target 0.85 \
     --out benchmarks/results/differential_production_gqa_r4.json
-run gqa_kv asvd4llm_tpu/tools/differential.py --preset production \
+run gqa_kv -m asvd4llm_tpu.tools.differential --preset production \
     --kv_heads 4 --layers 8 --compress_kv_cache --kv_cache_ratio_target 0.6 \
     --out benchmarks/results/differential_production_gqa_kv_r4.json
 echo "=== [$(date +%H:%M:%S)] QUEUE_GQA COMPLETE" | tee -a /tmp/r4logs/queue_gqa.log
