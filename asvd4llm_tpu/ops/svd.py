@@ -102,10 +102,18 @@ def truncated_svd(w: jax.Array, rank: int, *, backend: str = "auto",
 
     ``backend``: "exact" | "randomized" | "auto". Auto uses the exact path
     when the matrix is small or the requested rank is a large fraction of
-    the spectrum. The 0.5 threshold is MEASURED on the v5e
-    (benchmarks/results/svd_bench_r2.json): randomized is 4x faster at
-    rank 0.45*min(m,n) with recomposition error within 2e-4 of exact
-    (niter=8), and only converges to exact's cost above ~0.6.
+    the spectrum. The 0.5 threshold is MEASURED — re-measured WARM with
+    compile excluded in benchmarks/results/svd_bench_r4.json (VERDICT r3
+    #6, supersedes the conflated r3 timings): randomized is 4.6-4.7x
+    faster at the 4096x4096 scan/deploy ranks (ratio 0.44-0.45) and 15.8x
+    at KV-grade rank 512, with rel-err within 2e-4 of exact; at 11008x4096
+    it wins 1.49x at ratio 0.656 but LOSES (0.89x) at deploy ratio 0.625 —
+    the mlp regime near the boundary is noise-dominated (the 256-bucketed
+    subspace flips which program runs), so the boundary stays at 0.5 where
+    both measured mlp points are served correctly and the attn ranks that
+    dominate the scan keep the 4.6x. Exact-always would forfeit that 4.6x;
+    randomized-always would lose above the boundary AND at the tiny shapes
+    where full exact is one fused program.
 
     Compile-cache discipline: the jitted programs are keyed on the STATIC
     rank, and each novel (shape, rank) costs a multi-minute compile +

@@ -236,7 +236,8 @@ def _artifact_summary():
                         "benchmarks", "results")
     out = {}
     try:
-        d = _load_first(base, "model_decode_bench_r4b.json",
+        d = _load_first(base, "model_decode_bench_r4c.json",
+                        "model_decode_bench_r4b.json",
                         "model_decode_bench_r4.json",
                         "model_decode_bench_r3.json")["runs"]
         out["full_model_decode"] = {
@@ -248,7 +249,8 @@ def _artifact_summary():
     except Exception:
         pass
     try:
-        d = _load_first(base, "serving_bench_r4b.json",
+        d = _load_first(base, "serving_bench_r4c.json",
+                        "serving_bench_r4b.json",
                         "serving_bench_r4.json",
                         "serving_bench_r3.json")["runs"]
         out["paged_serving"] = {
@@ -271,7 +273,7 @@ def _artifact_summary():
     except Exception:
         pass
     try:
-        d = _load_first(base, "prefix_cache_r4.json")
+        d = _load_first(base, "prefix_cache_r4b.json", "prefix_cache_r4.json")
         out["prefix_cache"] = {
             "speedup_wall": d.get("speedup_wall"),
             "ttft_p50_off_on_s": [
