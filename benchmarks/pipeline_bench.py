@@ -149,6 +149,55 @@ def main(argv=None):
     cold = None
     t_stack = t_eval = 0.0
     eval_ppl = None
+
+    def emit(run_kind):
+        # write the artifact NOW — called after every rep so a run cut
+        # short by the round clock still lands its measured reps
+        scale_depth = FULL / layers
+        scan_fit = project_scan(timings, layers, FULL)
+        out = {
+            "geometry": {"hidden": H, "inter": I, "vocab": VOCAB,
+                         "layers": layers, "n_calib": n_calib,
+                         "seqlen": seqlen},
+            "backend": jax.default_backend(),
+            "host_master": bool(ns.host_master),
+            "measured_s": {"stack_layers": round(t_stack, 1),
+                           "calib_stats": round(t_stats, 1),
+                           "sensitivity_scan": round(t_scan, 1),
+                           "binary_search_and_decompose": round(t_search, 1),
+                           "windowed_eval": round(t_eval, 1),
+                           "total": round(t_stack + t_stats + t_scan
+                                          + t_search + t_eval, 1)},
+            "eval_ppl_synthetic": (None if eval_ppl is None
+                                   else round(float(eval_ppl), 2)),
+            "scan_points": n_points,
+            "manifest_layers": len(manifest),
+            "per_name_scan_s": [(n, li, round(dt, 2))
+                                for n, li, dt in timings],
+            "scan_projection_fit": scan_fit,
+            "projected_full_7b_s": {
+                "calib_stats": round(t_stats * scale_depth, 1),
+                "sensitivity_scan": scan_fit.get("projected_scan_s"),
+                "binary_search": round(t_search * scale_depth, 1),
+                "total": round(t_stats * scale_depth
+                               + scan_fit.get("projected_scan_s", 0.0)
+                               + t_search * scale_depth, 1),
+            },
+            "cold_run_s": cold,
+            "run_kind": run_kind,
+            "eval_budget_vs_canonical": round(
+                n_calib * seqlen / (REF_CALIB * REF_SEQLEN), 3),
+            "note": (f"PPL-eval budget is n_calib*seqlen; the reference's "
+                     f"canonical calib setting is {REF_CALIB}x{REF_SEQLEN} "
+                     f"(ref README.md:91-105, asvd.py:106-116). Reference "
+                     f"wall time for the scan at that setting: 'several "
+                     f"hours' on one CUDA GPU (ref README.md:59-60)."),
+        }
+        print(json.dumps(out, indent=1), flush=True)
+        if ns.json:
+            with open(ns.json, "w") as f:
+                json.dump(out, f, indent=2)
+
     for rep in range(max(ns.reps, 1)):
         stacked = None
         t_stack = 0.0
@@ -197,59 +246,19 @@ def main(argv=None):
                           "search_s": round(t_search, 1),
                           "eval_s": round(t_eval, 1)}), flush=True)
         if rep == 0:
-            cold = {"stack_layers": round(t_stack, 1),
-                    "calib_stats": round(t_stats, 1),
-                    "sensitivity_scan": round(t_scan, 1),
-                    "binary_search_and_decompose": round(t_search, 1),
-                    "windowed_eval": round(t_eval, 1)}
+            cold = ({"stack_layers": round(t_stack, 1),
+                     "calib_stats": round(t_stats, 1),
+                     "sensitivity_scan": round(t_scan, 1),
+                     "binary_search_and_decompose": round(t_search, 1),
+                     "windowed_eval": round(t_eval, 1)}
+                    if ns.reps > 1 else None)
+        if rep < ns.reps - 1:
+            emit(f"cold (rep {rep + 1} of {ns.reps} IN PROGRESS; "
+                 "measured_s is the cold rep — compiles + per-process "
+                 "program loads included)")
 
-    scale_depth = FULL / layers
-    scan_fit = project_scan(timings, layers, FULL)
-    out = {
-        "geometry": {"hidden": H, "inter": I, "vocab": VOCAB,
-                     "layers": layers, "n_calib": n_calib,
-                     "seqlen": seqlen},
-        "backend": jax.default_backend(),
-        "host_master": bool(ns.host_master),
-        "measured_s": {"stack_layers": round(t_stack, 1),
-                       "calib_stats": round(t_stats, 1),
-                       "sensitivity_scan": round(t_scan, 1),
-                       "binary_search_and_decompose": round(t_search, 1),
-                       "windowed_eval": round(t_eval, 1),
-                       "total": round(t_stack + t_stats + t_scan + t_search
-                                      + t_eval, 1)},
-        "eval_ppl_synthetic": (None if eval_ppl is None
-                               else round(float(eval_ppl), 2)),
-        "scan_points": n_points,
-        "manifest_layers": len(manifest),
-        "per_name_scan_s": [(n, li, round(dt, 2)) for n, li, dt in timings],
-        "scan_projection_fit": scan_fit,
-        "projected_full_7b_s": {
-            "calib_stats": round(t_stats * scale_depth, 1),
-            # per-name cost is c0 + c1*suffix (prefix-cached suffix
-            # evaluator) — use the component fit, not a linear depth scale
-            "sensitivity_scan": scan_fit.get("projected_scan_s"),
-            "binary_search": round(t_search * scale_depth, 1),
-            "total": round(t_stats * scale_depth
-                           + scan_fit.get("projected_scan_s", 0.0)
-                           + t_search * scale_depth, 1),
-        },
-        "cold_run_s": cold if ns.reps > 1 else None,
-        "run_kind": ("steady-state (rep 2 of an in-process double run; "
-                     "rep 1 paid compiles + program loads)"
-                     if ns.reps > 1 else "single run"),
-        "eval_budget_vs_canonical": round(
-            n_calib * seqlen / (REF_CALIB * REF_SEQLEN), 3),
-        "note": (f"PPL-eval budget is n_calib*seqlen; the reference's "
-                 f"canonical calib setting is {REF_CALIB}x{REF_SEQLEN} "
-                 f"(ref README.md:91-105, asvd.py:106-116). Reference wall "
-                 f"time for the scan at that setting: 'several hours' on "
-                 f"one CUDA GPU (ref README.md:59-60)."),
-    }
-    print(json.dumps(out, indent=1))
-    if ns.json:
-        with open(ns.json, "w") as f:
-            json.dump(out, f, indent=2)
+    emit("steady-state (rep 2 of an in-process double run; rep 1 paid "
+         "compiles + program loads)" if ns.reps > 1 else "single run")
 
 
 if __name__ == "__main__":
