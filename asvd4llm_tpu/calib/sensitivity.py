@@ -341,9 +341,40 @@ def _prep_grid_candidates(leaf, grid, cfg, scale, sub, mesh):
     return valid, w_hats, finite
 
 
+_TPU_HBM_BUDGET = 15.2e9    # v5e usable HBM is 15.75 GB; keep margin
+
+
+def _grid_chunk(w_hats, resident_bytes, mesh):
+    """Cap the batched evaluators' vmap width: candidate-side HLO temps
+    (suffix activations, MLP intermediates, chunked-CE buffers) scale with
+    the candidate axis, and at full 7B depth the 13 GB stacked working set
+    leaves ~1 GB of HBM — the full 6-wide grid OOMed the r4 probe. Host
+    chunking is nearly free (a ~28 ms dispatch vs multi-second suffix
+    evals; at most two program shapes per leaf shape) and numerically
+    identical — vmap is element-independent."""
+    C = int(w_hats.shape[0])
+    if jax.default_backend() != "tpu":
+        return C
+    if mesh is not None and mesh.shape.get("dp", 1) > 1:
+        return C    # dp shards the candidate axis; chunking would break it
+    free = _TPU_HBM_BUDGET - resident_bytes - w_hats.nbytes
+    per = 4 * w_hats[0].nbytes    # chunk slice + live per-candidate temps
+    return int(max(1, min(C, free * 0.5 // per)))
+
+
+def _eval_chunked(eval_fn, w_hats, cs):
+    """eval_fn(w_hats_chunk) -> [chunk] ppls, concatenated over chunks."""
+    C = int(w_hats.shape[0])
+    if cs >= C:
+        return eval_fn(w_hats)
+    return jnp.concatenate([eval_fn(w_hats[i:i + cs])
+                            for i in range(0, C, cs)])
+
+
 def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                              stats, fisher, mesh, include_extras,
-                             timings=None, stacked=None) -> dict:
+                             timings=None, stacked=None,
+                             free_stacked=False) -> dict:
     """Layer-major scan driver (uniform all-dense models): walks layers in
     order, keeps the dense model's hidden at the current layer's input
     cached on device, and scores each leaf's whole ratio grid with the
@@ -377,6 +408,11 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
     rb_adv = min(max(1, 4096 // S), n)
     hidden = _embed_rows(hp, spec, rows)
 
+    def resident_bytes():
+        live = ([] if stacked is None else jax.tree.leaves(stacked)) \
+            + jax.tree.leaves(hp)
+        return sum(x.nbytes for x in live) + hidden.nbytes
+
     sensitivity: dict = {}
     key = jax.random.PRNGKey(cfg.seed)
     t0 = time.time()
@@ -400,9 +436,12 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                 sensitivity[name][ratio] = float("inf")
             if not valid:
                 continue
-            ppls = _ppl_multi_ratio_suffix(
-                hp, stacked, spec, hidden, labels, k, jnp.int32(li),
-                w_hats, rb)
+            cs = _grid_chunk(w_hats, resident_bytes(), mesh)
+            ppls = _eval_chunked(
+                lambda wh: _ppl_multi_ratio_suffix(
+                    hp, stacked, spec, hidden, labels, k, jnp.int32(li),
+                    wh, rb),
+                w_hats, cs)
             finite = np.asarray(finite)
             for j, (ratio, ppl) in enumerate(zip(valid, np.asarray(ppls))):
                 sensitivity[name][ratio] = float(ppl) if finite[j] \
@@ -415,6 +454,17 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
         # advance the cached prefix past this (dense) layer
         hidden = _advance_rows(hp, stacked, spec, hidden,
                                jnp.int32(li), rb_adv)
+
+    if free_stacked and stacked is not None:
+        # the extras stage (lm_head grid) never touches the decoder stack,
+        # and at full 7B depth the head's candidate stack (6 x [32000,
+        # 4096]) cannot coexist with the 13 GB stacked arrays. Callers
+        # that opt in (pipeline host-master mode) del their reference
+        # right after the scan anyway; deleting the buffers here moves
+        # that point before the head grid.
+        for leaf in jax.tree.leaves(stacked):
+            leaf.delete()
+        stacked = None
 
     if include_extras:
         for name in extra_linear_names(params, spec):
@@ -432,8 +482,11 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                     sensitivity[name][ratio] = float("inf")
                 if not valid:
                     continue
-                ppls = _ppl_head_grid(hp, spec, hidden, labels, w_hats,
-                                      leaf["b"], rb)
+                cs = _grid_chunk(w_hats, resident_bytes(), mesh)
+                ppls = _eval_chunked(
+                    lambda wh: _ppl_head_grid(hp, spec, hidden, labels,
+                                              wh, leaf["b"], rb),
+                    w_hats, cs)
                 finite = np.asarray(finite)
                 for j, (ratio, ppl) in enumerate(zip(valid,
                                                      np.asarray(ppls))):
@@ -464,7 +517,8 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
 def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None,
                           batch_ratios: bool | None = None,
-                          mesh=None, timings=None, stacked=None) -> dict:
+                          mesh=None, timings=None, stacked=None,
+                          free_stacked=False) -> dict:
     """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
     (ref sensitivity.py:10-61). Always act-aware (ref :50).
 
@@ -515,7 +569,7 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
         sensitivity = _scan_suffix_sensitivity(
             params, spec, input_ids, grid, cfg, stats=stats, fisher=fisher,
             mesh=mesh, include_extras=include_extras, timings=timings,
-            stacked=stacked)
+            stacked=stacked, free_stacked=free_stacked)
         if cache is not None:
             cache.save_json("sensitivity", cfg.sensitivity_key(), sensitivity)
         return sensitivity

@@ -110,7 +110,9 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
             sensitivity = calib_sensitivity_ppl(params, spec, calib_loader,
                                                 cfg, stats=stats,
                                                 fisher=fisher, cache=cache,
-                                                mesh=mesh, stacked=stacked)
+                                                mesh=mesh, stacked=stacked,
+                                                free_stacked=stacked
+                                                is not None)
         else:
             sensitivity = calib_sensitivity_stable_rank(params, spec,
                                                         calib_loader, cfg,

@@ -217,7 +217,8 @@ def main(argv=None):
         timings = []
         t0 = time.time()
         sens = calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats,
-                                     timings=timings, stacked=stacked)
+                                     timings=timings, stacked=stacked,
+                                     free_stacked=ns.host_master)
         t_scan = time.time() - t0
         n_points = sum(len(v) for v in sens.values())
         del stacked  # free the scan working set before the decompose grows
