@@ -8,11 +8,17 @@ preference, and round 3/4 measured it (benchmarks/results/
 attn_micro_r4.json, model_decode_bench_r4.json, DESIGN.md round-3
 roofline):
 
-- **latent-V** absorbs V exactly (no RoPE on V): per-token HBM traffic
-  strictly drops by (KV*hd - Rv) floats per layer and the cache shrinks
-  to (KV*hd + Rv)/(2*KV*hd). Measured >= dense at MHA (1.02-1.29x) and
-  ~parity at GQA (0.94-1.06x) — the throughput-safe default whenever
-  v_proj is low-rank with a real rank saving.
+- **latent-V** absorbs V exactly (no RoPE on V): per-token V-cache reads
+  drop by (KV*hd - Rv) floats per layer, but the PV dot then contracts
+  against Rv instead of hd — Rv/hd x the PV FLOPs. Decode is memory-bound
+  so the extra FLOPs ride an idle MXU while the read saving is large;
+  when the saving is thin they surface. Measured twice (r4b + r4c,
+  model_decode/attn_micro): at MHA (Rv = 0.40*KV*hd) latent-V wins
+  1.04-1.28x dense at every T; at GQA8 (Rv = 0.64*KV*hd) it STRADDLES
+  parity (1.04-1.06x at T1024, 0.93-0.94x at T4096). So latent-V is the
+  default at MHA whenever v_proj realizes a saving, but at GQA only on a
+  STRONG saving (Rv <= 0.5*KV*hd) — otherwise dense cache is the
+  throughput-safe pick.
 - **fused latent-KV** maximizes cache saving but re-pays the K
   up-projection (Rk x KV*hd GEMM) against every cached position, every
   step. The round-3 roofline argument: at GQA the up-projection reads
@@ -80,13 +86,18 @@ def choose_layout(params, spec, *, backend: str | None = None,
     n_k, rk = _rank_stats(params, "k_proj")
     L = len(params["layers"])
     up = backend == "tpu" and pallas_eligible(params, spec)
+    rep = max(1, spec.num_heads // max(1, spec.num_kv_heads))
 
-    # realized saving only when the rank-dim latent is actually smaller
-    # than the head-space row it replaces
-    v_saves = n_v > 0 and rv < 0.95 * KV_hd
+    # a saving EXISTS when the rank-dim latent is smaller than the
+    # head-space row it replaces (what prefer_memory maximizes); the
+    # throughput default additionally requires it to be a STRONG saving
+    # at GQA (rep > 1): the thin-saving regime measured slower than dense
+    # at long T (r4b+r4c: 0.93x at Rv = 0.64*KV*hd, T4096)
+    v_saves_any = n_v > 0 and rv < 0.95 * KV_hd
     k_saves = n_k > 0 and rk < 0.95 * KV_hd
+    v_saves = v_saves_any and (rep == 1 or rv <= 0.5 * KV_hd)
 
-    if prefer_memory and v_saves and k_saves:
+    if prefer_memory and v_saves_any and k_saves:
         # mean over layers; dense layers cache dense rows
         ratio = (sum((layer["k_proj"]["A"].shape[1]
                       + layer["v_proj"]["A"].shape[1])
@@ -106,10 +117,14 @@ def choose_layout(params, spec, *, backend: str | None = None,
         return LayoutDecision(
             "v", up, ratio,
             f"latent-V: {ratio:.2f}x dense cache at >=dense throughput "
-            "(V absorbs exactly, no RoPE; attn_micro_r4 1.02-1.13x, "
-            "model_decode_bench_r4 0.94-1.29x)")
+            "(V absorbs exactly, no RoPE; MHA 1.04-1.28x and strong-"
+            "saving GQA, model_decode_bench_r4c/attn_micro_r4c)")
     return LayoutDecision(
         False, up, 1.0,
-        "dense cache: no v_proj rank saving to realize"
+        ("dense cache: GQA with a thin V rank saving "
+         f"(Rv {rv:.0f} > 0.5*{KV_hd}) measured below dense at long T "
+         "(r4c 0.93x) — throughput-safe pick"
+         if v_saves_any else
+         "dense cache: no v_proj rank saving to realize")
         + ("" if up else "; XLA gather path (kernel contract unmet or "
                          "non-TPU backend)"))

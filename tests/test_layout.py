@@ -77,3 +77,21 @@ def test_pallas_eligibility_contract():
     assert not dec_cpu.use_pallas
     dec_tpu = choose_layout(_params(spec, v_rank=8), spec, backend="tpu")
     assert dec_tpu.use_pallas
+
+
+def test_gqa_thin_saving_stays_dense():
+    """GQA (rep > 1) with a thin V rank saving (Rv > 0.5*kv_dim) measured
+    BELOW dense at long T (attn_micro/model_decode r4b+r4c: 0.93x at
+    Rv = 0.64*kv_dim) — the throughput default must pick dense there,
+    while MHA at the same relative rank keeps latent-V (1.04-1.28x)."""
+    gqa = _spec()                       # 4 heads / 2 kv heads, kv_dim 16
+    dec = choose_layout(_params(gqa, v_rank=12), gqa, backend="cpu")
+    assert dec.latent is False
+    assert "thin" in dec.reason
+    mha = _spec(num_kv_heads=4)         # rep == 1, kv_dim 32
+    dec2 = choose_layout(_params(mha, v_rank=24), mha, backend="cpu")
+    assert dec2.latent == "v"
+    # prefer_memory still realizes the maximal saving at GQA
+    dec3 = choose_layout(_params(gqa, v_rank=12, k_rank=12), gqa,
+                         backend="cpu", prefer_memory=True)
+    assert dec3.latent == "kv"
