@@ -236,7 +236,8 @@ def _artifact_summary():
                         "benchmarks", "results")
     out = {}
     try:
-        d = _load_first(base, "model_decode_bench_r4c.json",
+        d = _load_first(base, "model_decode_bench_r4d.json",
+                        "model_decode_bench_r4c.json",
                         "model_decode_bench_r4b.json",
                         "model_decode_bench_r4.json",
                         "model_decode_bench_r3.json")["runs"]
