@@ -114,6 +114,28 @@ def _recompose_stack(w, scale, ranks: tuple, backend: str, key):
     return w_hats, finite
 
 
+@functools.partial(jax.jit, static_argnames=("ranks", "backend"))
+def _grid_factors(w, scale, ranks: tuple, backend: str, key):
+    """SVD factors at max(ranks) for on-demand chunk recomposition — the
+    full-depth HBM path: the factors cost (out+in)·max_rank f32 (~166 MB
+    for an 11008x4096 MLP leaf) instead of the len(ranks)·out·in dense
+    stack (~540 MB), and each chunk of candidates recomposes and frees
+    inside the grid loop."""
+    w32 = w.astype(jnp.float32) * scale[None, :]
+    from asvd4llm_tpu.ops.svd import truncated_svd
+    u, s, vh = truncated_svd(w32, max(ranks), backend=backend, key=key)
+    return u, s, vh / scale[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("ranks", "dtype"))
+def _recompose_chunk(u, s, vh, ranks: tuple, dtype):
+    """Dense recompositions for one chunk of grid ranks + finite flags."""
+    w_hats = jnp.stack([
+        ((u[:, :r] * s[:r][None, :]) @ vh[:r, :]).astype(dtype)
+        for r in ranks])
+    return w_hats, jnp.isfinite(w_hats).all(axis=(1, 2))
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "key", "limit"))
 def _ppl_multi_ratio_bucketed(params, spec, ids, key, target, w_hats, limit):
     """Multi-ratio PPL with the substituted layer chosen by a
@@ -341,34 +363,66 @@ def _prep_grid_candidates(leaf, grid, cfg, scale, sub, mesh):
     return valid, w_hats, finite
 
 
-_TPU_HBM_BUDGET = 15.2e9    # v5e usable HBM is 15.75 GB; keep margin
+_TPU_HBM_BUDGET = 14.6e9    # v5e usable HBM is 15.75 GB; the full-depth
+# runs showed ~1 GB of unaccounted residency (executable workspaces,
+# async buffers, fragmentation) on top of the trackable working set, so
+# the planning budget keeps that margin
 
 
-def _grid_chunk(w_hats, resident_bytes, mesh):
+def _grid_chunk_bytes(C, cand_bytes, resident_bytes, mesh):
     """Cap the batched evaluators' vmap width: candidate-side HLO temps
     (suffix activations, MLP intermediates, chunked-CE buffers) scale with
     the candidate axis, and at full 7B depth the 13 GB stacked working set
-    leaves ~1 GB of HBM — the full 6-wide grid OOMed the r4 probe. Host
-    chunking is nearly free (a ~28 ms dispatch vs multi-second suffix
+    leaves ~1 GB of HBM — the full 6-wide grid OOMed the r4 probe twice.
+    Host chunking is nearly free (a ~28 ms dispatch vs multi-second suffix
     evals; at most two program shapes per leaf shape) and numerically
     identical — vmap is element-independent."""
-    C = int(w_hats.shape[0])
     if jax.default_backend() != "tpu":
         return C
     if mesh is not None and mesh.shape.get("dp", 1) > 1:
         return C    # dp shards the candidate axis; chunking would break it
-    free = _TPU_HBM_BUDGET - resident_bytes - w_hats.nbytes
-    per = 4 * w_hats[0].nbytes    # chunk slice + live per-candidate temps
+    free = _TPU_HBM_BUDGET - resident_bytes
+    per = 4 * cand_bytes          # chunk entry + live per-candidate temps
     return int(max(1, min(C, free * 0.5 // per)))
 
 
-def _eval_chunked(eval_fn, w_hats, cs):
-    """eval_fn(w_hats_chunk) -> [chunk] ppls, concatenated over chunks."""
-    C = int(w_hats.shape[0])
-    if cs >= C:
-        return eval_fn(w_hats)
-    return jnp.concatenate([eval_fn(w_hats[i:i + cs])
-                            for i in range(0, C, cs)])
+def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
+                        eval_fn):
+    """Evaluate a leaf's whole ratio grid, streaming dense candidate
+    recompositions through HBM in residency-sized chunks.
+
+    dp>1 meshes keep the full-stack path (the candidate axis shards over
+    dp). Otherwise the SVD factors stay resident ((out+in)·max_rank f32)
+    and each chunk recomposes, evaluates, and frees — the per-chunk
+    np.asarray fetch is the synchronization that bounds live chunks to
+    one. Returns (valid_ratios, ppls, finite) as numpy."""
+    out_f, in_f = leaf_shape(leaf)
+    ranks = {r: min(rank_for_param_ratio(in_f, out_f, r, cfg.rank_align),
+                    in_f, out_f) for r in grid}
+    valid = [r for r in grid if ranks[r] > 0]
+    if not valid:
+        return valid, None, None
+    if mesh is not None and mesh.shape.get("dp", 1) > 1:
+        valid, w_hats, finite = _prep_grid_candidates(
+            leaf, grid, cfg, scale, sub, mesh)
+        return valid, np.asarray(eval_fn(w_hats)), np.asarray(finite)
+    backend = _resolve_backend(cfg, out_f, in_f, max(ranks.values()))
+    scale_vec = scale if scale is not None else jnp.ones((in_f,),
+                                                         jnp.float32)
+    ranks_tuple = tuple(ranks[r] for r in valid)
+    u, s, vh = _grid_factors(leaf["w"], scale_vec, ranks_tuple, backend,
+                             sub)
+    dtype = leaf["w"].dtype
+    cand_bytes = out_f * in_f * dtype.itemsize
+    cs = _grid_chunk_bytes(
+        len(valid), cand_bytes,
+        resident_bytes + u.nbytes + s.nbytes + vh.nbytes, mesh)
+    ppls, fins = [], []
+    for i in range(0, len(valid), cs):
+        wh, fin = _recompose_chunk(u, s, vh, ranks_tuple[i:i + cs], dtype)
+        ppls.append(np.asarray(eval_fn(wh)))
+        fins.append(np.asarray(fin))
+    return valid, np.concatenate(ppls), np.concatenate(fins)
 
 
 def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
@@ -430,20 +484,16 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                 None if fisher is None else fisher.get(name), cfg.alpha)
             sensitivity[name] = {}
             key, sub = jax.random.split(key)
-            valid, w_hats, finite = _prep_grid_candidates(
-                leaf, grid, cfg, scale, sub, mesh)
+            valid, ppls, finite = _grid_eval_streamed(
+                leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
+                lambda wh: _ppl_multi_ratio_suffix(
+                    hp, stacked, spec, hidden, labels, k, jnp.int32(li),
+                    wh, rb))
             for ratio in set(grid) - set(valid):
                 sensitivity[name][ratio] = float("inf")
             if not valid:
                 continue
-            cs = _grid_chunk(w_hats, resident_bytes(), mesh)
-            ppls = _eval_chunked(
-                lambda wh: _ppl_multi_ratio_suffix(
-                    hp, stacked, spec, hidden, labels, k, jnp.int32(li),
-                    wh, rb),
-                w_hats, cs)
-            finite = np.asarray(finite)
-            for j, (ratio, ppl) in enumerate(zip(valid, np.asarray(ppls))):
+            for j, (ratio, ppl) in enumerate(zip(valid, ppls)):
                 sensitivity[name][ratio] = float(ppl) if finite[j] \
                     else float("inf")
                 n_pts += 1
@@ -476,20 +526,15 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             sensitivity[name] = {}
             key, sub = jax.random.split(key)
             if name == LM_HEAD_NAME:
-                valid, w_hats, finite = _prep_grid_candidates(
-                    leaf, grid, cfg, scale, sub, mesh)
+                valid, ppls, finite = _grid_eval_streamed(
+                    leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
+                    lambda wh: _ppl_head_grid(hp, spec, hidden, labels,
+                                              wh, leaf["b"], rb))
                 for ratio in set(grid) - set(valid):
                     sensitivity[name][ratio] = float("inf")
                 if not valid:
                     continue
-                cs = _grid_chunk(w_hats, resident_bytes(), mesh)
-                ppls = _eval_chunked(
-                    lambda wh: _ppl_head_grid(hp, spec, hidden, labels,
-                                              wh, leaf["b"], rb),
-                    w_hats, cs)
-                finite = np.asarray(finite)
-                for j, (ratio, ppl) in enumerate(zip(valid,
-                                                     np.asarray(ppls))):
+                for j, (ratio, ppl) in enumerate(zip(valid, ppls)):
                     sensitivity[name][ratio] = float(ppl) if finite[j] \
                         else float("inf")
                     n_pts += 1

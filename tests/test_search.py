@@ -338,7 +338,8 @@ def test_chunked_grid_eval_matches_full(tiny, monkeypatch):
     cfg = ASVDConfig(model_id="t", param_ratio_target=0.9,
                      svd_backend="exact", n_calib_samples=2)
     full = calib_sensitivity_ppl(params, spec, loader, cfg)
-    monkeypatch.setattr(S, "_grid_chunk", lambda w, resident, mesh: 2)
+    monkeypatch.setattr(S, "_grid_chunk_bytes",
+                        lambda C, cand, resident, mesh: 2)
     chunked = calib_sensitivity_ppl(params, spec, loader, cfg)
     assert full.keys() == chunked.keys()
     for name in full:
