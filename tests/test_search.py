@@ -329,7 +329,7 @@ def test_kv_mode_realizes_ratios_above_one(tiny):
 
 def test_chunked_grid_eval_matches_full(tiny, monkeypatch):
     """The TPU HBM guard chunks the candidate axis of the batched grid
-    evaluators at host level (calib/sensitivity.py::_grid_chunk — the r4
+    evaluators at host level (calib/sensitivity.py::_grid_chunk_bytes — the r4
     full-depth probe OOM). Chunked evaluation must be numerically
     identical to the full-width vmap."""
     import asvd4llm_tpu.calib.sensitivity as S
