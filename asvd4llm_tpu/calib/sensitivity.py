@@ -363,10 +363,10 @@ def _prep_grid_candidates(leaf, grid, cfg, scale, sub, mesh):
     return valid, w_hats, finite
 
 
-_TPU_HBM_BUDGET = 14.6e9    # v5e usable HBM is 15.75 GB; the full-depth
-# runs showed ~1 GB of unaccounted residency (executable workspaces,
-# async buffers, fragmentation) on top of the trackable working set, so
-# the planning budget keeps that margin
+_TPU_HBM_BUDGET = 14.2e9    # v5e usable HBM is 15.75 GB; the full-depth
+# runs showed over a GB of untrackable residency (executable workspaces,
+# dispatch-time allocations, fragmentation) on top of the trackable
+# working set, so the planning budget keeps that margin
 
 
 def _grid_chunk_bytes(C, cand_bytes, resident_bytes, mesh):
@@ -412,6 +412,14 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
     ranks_tuple = tuple(ranks[r] for r in valid)
     u, s, vh = _grid_factors(leaf["w"], scale_vec, ranks_tuple, backend,
                              sub)
+    if jax.default_backend() == "tpu":
+        # HOST FETCH = the only reliable device sync on the axon backend
+        # (block_until_ready does not wait). Buffers allocate at DISPATCH
+        # time, so without this the recompose chunk's outputs allocate
+        # while the SVD still holds its ~0.5-1 GB workspace — that
+        # dispatch-execution overlap is what OOMed the full-depth run
+        # at <300 MB of planned headroom.
+        float(s[0])
     dtype = leaf["w"].dtype
     cand_bytes = out_f * in_f * dtype.itemsize
     cs = _grid_chunk_bytes(
@@ -420,8 +428,8 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
     ppls, fins = [], []
     for i in range(0, len(valid), cs):
         wh, fin = _recompose_chunk(u, s, vh, ranks_tuple[i:i + cs], dtype)
-        ppls.append(np.asarray(eval_fn(wh)))
-        fins.append(np.asarray(fin))
+        ppls.append(np.asarray(eval_fn(wh)))    # sync: chunk freed before
+        fins.append(np.asarray(fin))            # the next one dispatches
     return valid, np.concatenate(ppls), np.concatenate(fins)
 
 
@@ -504,6 +512,10 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
         # advance the cached prefix past this (dense) layer
         hidden = _advance_rows(hp, stacked, spec, hidden,
                                jnp.int32(li), rb_adv)
+        if jax.default_backend() == "tpu":
+            # host-fetch sync (see _grid_eval_streamed): the next leaf's
+            # SVD must not dispatch while the advance still runs
+            float(hidden[0, 0, 0])
 
     if free_stacked and stacked is not None:
         # the extras stage (lm_head grid) never touches the decoder stack,
