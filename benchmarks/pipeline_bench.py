@@ -198,7 +198,31 @@ def main(argv=None):
             with open(ns.json, "w") as f:
                 json.dump(out, f, indent=2)
 
+    # Interrupt safety: a deadline-bounded run gets SIGINT (never SIGKILL —
+    # a killed process can wedge the axon TPU claim host-side). Emit the
+    # artifact with whatever phases/leaves completed, then re-raise so the
+    # interpreter tears the JAX client down normally and releases the chip.
+    import signal
+
+    def _on_int(sig, frame):
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+        try:
+            emit("INTERRUPTED (SIGINT): partial rep — per_name_scan_s "
+                 "holds the leaves that completed; phase times are 0 for "
+                 "phases cut mid-flight")
+        except Exception:
+            pass
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGINT, _on_int)
+
     for rep in range(max(ns.reps, 1)):
+        # initialize phase times so an interrupt-time emit() is well-defined
+        # even mid-phase; per_name_scan_s carries the per-leaf evidence
+        t_stats = t_scan = t_search = t_eval = 0.0
+        n_points = 0
+        manifest = []
+        timings = []
         stacked = None
         t_stack = 0.0
         if ns.host_master:
