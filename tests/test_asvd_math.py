@@ -210,3 +210,53 @@ def test_gram_truncated_svd_error_bound():
     np.testing.assert_allclose(np.asarray(s), np.asarray(sd), rtol=1e-3)
     resid_direct = float(jnp.linalg.norm(w - (ud * sd[None, :]) @ vhd))
     assert abs(resid - resid_direct) <= 0.01 * resid_direct + 1e-6
+
+
+def test_gram_backend_both_orientations_match_exact():
+    """truncated_svd(backend="gram") must reconstruct as well as exact at
+    truncation ranks, in both orientations (the full-depth scan swaps it
+    in for 11008x4096 AND 4096x11008 leaves when HBM is tight)."""
+    from asvd4llm_tpu.ops.svd import truncated_svd
+
+    key = jax.random.PRNGKey(3)
+    for shape in [(96, 40), (40, 96)]:
+        w = jax.random.normal(key, shape, dtype=jnp.float32)
+        for rank in (8, 24):
+            ug, sg, vg = truncated_svd(w, rank, backend="gram")
+            ue, se, ve = truncated_svd(w, rank, backend="exact")
+            rec_g = (ug * sg[None, :]) @ vg
+            rec_e = (ue * se[None, :]) @ ve
+            err_g = float(jnp.linalg.norm(w - rec_g))
+            err_e = float(jnp.linalg.norm(w - rec_e))
+            assert err_g <= err_e * 1.0 + 1e-3
+            assert jnp.allclose(sg, se, rtol=1e-4, atol=1e-4)
+
+
+def test_exact_falls_back_to_gram_under_memory_pressure(monkeypatch):
+    """When exact_svd_fits_hbm says no, backend="exact" must route to the
+    Gram program (the full-depth 32-layer scan OOMed in QDWH-SVD with
+    13.6 GB resident; this is the regression guard for that fix)."""
+    from asvd4llm_tpu.ops import svd as svd_mod
+
+    calls = {"gram": 0, "exact": 0}
+    real_gram, real_exact = svd_mod._gram_svd_full, svd_mod._exact_truncated_svd
+
+    def fake_gram(w):
+        calls["gram"] += 1
+        return real_gram(w)
+
+    def fake_exact(w, rank):
+        calls["exact"] += 1
+        return real_exact(w, rank)
+
+    monkeypatch.setattr(svd_mod, "_gram_svd_full", fake_gram)
+    monkeypatch.setattr(svd_mod, "_exact_truncated_svd", fake_exact)
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 48), jnp.float32)
+
+    monkeypatch.setattr(svd_mod, "exact_svd_fits_hbm", lambda m, n: False)
+    svd_mod.truncated_svd(w, 16, backend="exact")
+    assert calls == {"gram": 1, "exact": 0}
+
+    monkeypatch.setattr(svd_mod, "exact_svd_fits_hbm", lambda m, n: True)
+    svd_mod.truncated_svd(w, 16, backend="exact")
+    assert calls == {"gram": 1, "exact": 1}
