@@ -319,13 +319,14 @@ def _ppl_head_grid(params, spec, hidden, labels, w_hats, bias, rb):
 
 
 def _resolve_backend(cfg, out_f, in_f, max_rank):
-    backend = cfg.svd_backend
-    if backend == "auto":
-        # measured crossover on v5e: svd_bench_r2.json (ops/svd.py)
-        small = (out_f * in_f <= 1024 * 1024) or \
-            (max_rank >= 0.5 * min(out_f, in_f))
-        backend = "exact" if small else "randomized"
-    return backend
+    """Resolve the SVD backend EAGERLY, at dispatch time, before entering
+    the jitted evaluators (_recompose_stack / _grid_factors take it as a
+    static arg). This includes the memory-tight exact→gram fallback:
+    resolving inside the trace would freeze a residency snapshot into the
+    compiled program, which the jit cache then reuses at whatever
+    residency comes later (ADVICE r4 medium #1)."""
+    from asvd4llm_tpu.ops.svd import resolve_backend
+    return resolve_backend(out_f, in_f, max_rank, cfg.svd_backend)
 
 
 def _prep_grid_candidates(leaf, grid, cfg, scale, sub, mesh):
@@ -363,27 +364,15 @@ def _prep_grid_candidates(leaf, grid, cfg, scale, sub, mesh):
     return valid, w_hats, finite
 
 
-_TPU_HBM_BUDGET = 14.2e9    # v5e usable HBM is 15.75 GB; the full-depth
-# runs showed over a GB of untrackable residency (executable workspaces,
-# dispatch-time allocations, fragmentation) on top of the trackable
-# working set, so the planning budget keeps that margin
-
-
 def _grid_chunk_bytes(C, cand_bytes, resident_bytes, mesh):
-    """Cap the batched evaluators' vmap width: candidate-side HLO temps
-    (suffix activations, MLP intermediates, chunked-CE buffers) scale with
-    the candidate axis, and at full 7B depth the 13 GB stacked working set
-    leaves ~1 GB of HBM — the full 6-wide grid OOMed the r4 probe twice.
-    Host chunking is nearly free (a ~28 ms dispatch vs multi-second suffix
-    evals; at most two program shapes per leaf shape) and numerically
-    identical — vmap is element-independent."""
-    if jax.default_backend() != "tpu":
-        return C
+    """Cap the batched evaluators' vmap width — budget math lives in
+    utils/membudget.grid_chunk_candidates (single owner, tested against
+    the round-4 OOM shapes); this wrapper only adds the mesh exemption
+    (dp shards the candidate axis; chunking would break the sharding)."""
     if mesh is not None and mesh.shape.get("dp", 1) > 1:
-        return C    # dp shards the candidate axis; chunking would break it
-    free = _TPU_HBM_BUDGET - resident_bytes
-    per = 4 * cand_bytes          # chunk entry + live per-candidate temps
-    return int(max(1, min(C, free * 0.5 // per)))
+        return C
+    from asvd4llm_tpu.utils.membudget import grid_chunk_candidates
+    return grid_chunk_candidates(C, cand_bytes, resident_bytes)
 
 
 def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,

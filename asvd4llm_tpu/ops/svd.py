@@ -55,29 +55,41 @@ def _gram_svd_full(w: jax.Array):
     return vh.T, s, u.T
 
 
-_TPU_HBM_BUDGET = 14.2e9   # v5e usable HBM 15.75 GB minus the observed
-# ~1 GB of untrackable residency (executable workspaces, dispatch-time
-# allocations, fragmentation) — same planning budget as calib/sensitivity
-_EXACT_WORKSPACE_MULT = 12  # QDWH-SVD peak (input copies + QR/polar
-# iteration temps + full U/S/Vh outputs), conservative multiple of the
-# f32 matrix bytes: the full-depth run OOMed a 180 MB matrix with ~2.1 GB
-# actually free, so the true peak exceeds 12x
-
-
 def exact_svd_fits_hbm(m: int, n: int) -> bool:
     """Whether jnp.linalg.svd's workspace for an [m, n] f32 matrix fits
-    next to the CURRENTLY LIVE device arrays. The axon backend exposes no
-    memory_stats; summing jax.live_arrays() tracks the resident working
-    set (weight stacks, calib hidden states, growing compressed models) —
-    the untrackable remainder is covered by the budget margin."""
-    if jax.default_backend() != "tpu":
-        return True
-    try:
-        resident = sum(x.nbytes for x in jax.live_arrays())
-    except Exception:
-        return True
-    return (_TPU_HBM_BUDGET - resident
-            >= _EXACT_WORKSPACE_MULT * m * n * 4)
+    next to the CURRENTLY LIVE device arrays. All numbers (budget,
+    workspace multiple, residency query incl. its loud failure mode) are
+    owned by utils/membudget — the one tested home for memory planning.
+
+    EAGER ONLY: under tracing the residency snapshot would be baked into
+    the compiled program and reused from the jit cache at whatever
+    residency comes later (a program first traced at low residency keeps
+    running exact QDWH after the resident set grows — reintroducing the
+    round-4 OOM). Jitted callers pre-resolve via ``resolve_backend``."""
+    from asvd4llm_tpu.utils.membudget import exact_svd_fits_hbm as _fits
+    return _fits(m, n)
+
+
+def resolve_backend(m: int, n: int, rank: int, backend: str = "auto") -> str:
+    """Eagerly resolve the SVD backend for an [m, n] matrix at ``rank``.
+
+    This is the ONE entry point for the auto heuristic (measured 0.5
+    boundary, see truncated_svd's docstring) plus the memory-tight
+    exact→gram fallback. Callers that jit around truncated_svd MUST call
+    this at dispatch time and pass the result as their static backend arg:
+    resolving inside the trace would freeze a residency snapshot into the
+    compiled program (ADVICE r4 medium #1)."""
+    if backend == "auto":
+        small = (m * n <= 1024 * 1024) or (rank >= 0.5 * min(m, n))
+        backend = "exact" if small else "randomized"
+    if backend == "exact" and not exact_svd_fits_hbm(m, n):
+        # memory-tight regimes (the full-depth 32-layer scan keeps a
+        # 13.6 GB working set resident; the final decompose holds the
+        # growing compressed model) swap QDWH-SVD's multi-GB workspace
+        # for the Gram path: accuracy within 0.7% of optimal at real
+        # shapes (svd_accuracy_r3.json), workspace O(min^2)
+        backend = "gram"
+    return backend
 
 
 @functools.partial(jax.jit, static_argnames=("rank",))
@@ -170,16 +182,18 @@ def truncated_svd(w: jax.Array, rank: int, *, backend: str = "auto",
     program per weight shape shared by scan, search and final decompose."""
     m, n = w.shape
     rank = int(min(rank, m, n))
-    if backend == "auto":
-        small = (m * n <= 1024 * 1024) or (rank >= 0.5 * min(m, n))
-        backend = "exact" if small else "randomized"
-    if backend == "exact" and not exact_svd_fits_hbm(m, n):
-        # memory-tight regimes (the full-depth 32-layer scan keeps a
-        # 13.6 GB working set resident; the final decompose holds the
-        # growing compressed model) swap QDWH-SVD's multi-GB workspace
-        # for the Gram path: accuracy within 0.7% of optimal at real
-        # shapes (svd_accuracy_r3.json), workspace O(min^2)
-        backend = "gram"
+    if isinstance(w, jax.core.Tracer):
+        # under tracing, residency is a meaningless trace-time snapshot
+        # that would be frozen into the compiled program (jit cache keys
+        # on shapes/statics only) — the auto shape heuristic still
+        # applies, but the exact→gram memory fallback must have been
+        # pre-resolved by the caller (resolve_backend). auto-exact under
+        # tracing is fine for the small shapes the heuristic picks it for.
+        if backend == "auto":
+            small = (m * n <= 1024 * 1024) or (rank >= 0.5 * min(m, n))
+            backend = "exact" if small else "randomized"
+    else:
+        backend = resolve_backend(m, n, rank, backend)
     if backend == "gram":
         u, s, vh = _gram_svd_full(w)
         return u[:, :rank], s[:rank], vh[:rank, :]
@@ -215,7 +229,19 @@ def batched_truncated_svd(ws: jax.Array, rank: int, *, backend: str = "auto",
     if backend == "exact" and not exact_svd_fits_hbm(L * m, n):
         backend = "gram"     # see truncated_svd: memory-tight fallback
     if backend == "gram":
-        us, ss, vhs = jax.vmap(_gram_svd_full)(ws)
+        # the vmapped gram route materializes L*(Gram + eigh workspace +
+        # full U/S/Vh) at once — it needs its own fit check (ADVICE r4):
+        # chunk the batch serially when the full vmap would not fit
+        from asvd4llm_tpu.utils.membudget import fits, \
+            gram_svd_workspace_bytes
+        bs = L
+        while bs > 1 and not fits(bs * gram_svd_workspace_bytes(m, n)):
+            bs = (bs + 1) // 2
+        parts = [jax.vmap(_gram_svd_full)(ws[i:i + bs])
+                 for i in range(0, L, bs)]
+        us = jnp.concatenate([p[0] for p in parts])
+        ss = jnp.concatenate([p[1] for p in parts])
+        vhs = jnp.concatenate([p[2] for p in parts])
         return us[:, :, :rank], ss[:, :rank], vhs[:, :rank, :]
     if backend == "exact":
         us, ss, vhs = jax.vmap(

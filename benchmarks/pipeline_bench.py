@@ -147,7 +147,13 @@ def main(argv=None):
                      eval_dtype="bfloat16", use_cache=False)
 
     cold = None
-    t_stack = t_eval = 0.0
+    # bind EVERYTHING emit() reads before the SIGINT handler is installed:
+    # an interrupt landing before the first rep's initializers used to
+    # NameError inside emit() and silently lose the partial artifact
+    t_stack = t_eval = t_stats = t_scan = t_search = 0.0
+    n_points = 0
+    manifest = []
+    timings = []
     eval_ppl = None
 
     def emit(run_kind):
@@ -211,7 +217,10 @@ def main(argv=None):
                  "holds the leaves that completed; phase times are 0 for "
                  "phases cut mid-flight")
         except Exception:
-            pass
+            import traceback
+            print("pipeline_bench: partial-artifact emit failed:",
+                  file=sys.stderr)
+            traceback.print_exc()
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGINT, _on_int)

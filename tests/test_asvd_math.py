@@ -228,7 +228,11 @@ def test_gram_backend_both_orientations_match_exact():
             rec_e = (ue * se[None, :]) @ ve
             err_g = float(jnp.linalg.norm(w - rec_g))
             err_e = float(jnp.linalg.norm(w - rec_e))
-            assert err_g <= err_e * 1.0 + 1e-3
+            # relative bound (gram's squared conditioning can legitimately
+            # differ slightly across backends; an absolute 1e-3 slack on
+            # O(10) Frobenius residuals was implicitly ~1e-4 relative)
+            w_norm = float(jnp.linalg.norm(w))
+            assert err_g <= err_e * (1 + 1e-4) + 1e-6 * w_norm
             assert jnp.allclose(sg, se, rtol=1e-4, atol=1e-4)
 
 
