@@ -78,7 +78,10 @@ class PagedEngine:
             # when v_proj ranks realize a saving, fused kernels when the
             # kernel contract holds
             from asvd4llm_tpu.serving.layout import choose_layout
-            dec = choose_layout(params, spec, prefer_memory=prefer_memory)
+            # the engine's hard per-sequence context bound is the expected-T
+            # proxy: the latent-V crossovers are context-length physics
+            dec = choose_layout(params, spec, prefer_memory=prefer_memory,
+                                expected_T=max_pages_per_seq * page_size)
             if latent == "auto":
                 latent = dec.latent
             if use_pallas is None:

@@ -126,7 +126,9 @@ def main(argv=None):
         if latent_kv == "auto" or use_pallas is None:
             from asvd4llm_tpu.serving.layout import choose_layout
             dec = choose_layout(params, spec,
-                                prefer_memory=args.prefer_memory)
+                                prefer_memory=args.prefer_memory,
+                                expected_T=ids.shape[1]
+                                + args.max_new_tokens)
             if latent_kv == "auto":
                 latent_kv = dec.latent
             if use_pallas is None:

@@ -164,16 +164,25 @@ def main(argv=None):
             # scored against THIS run's measured rows (serving/layout.py:
             # auto must never lose to dense while realizing cache saving)
             from asvd4llm_tpu.serving.layout import choose_layout
+            # the selector chooses a LAYOUT for the compressed model, so
+            # its dense-cache pick is the "lowrank" row (compressed
+            # weights, dense cache) — "dense" is the uncompressed baseline
+            choices = {False: "lowrank", "v": "latent_v",
+                       "kv": "latent_fused"}
+            argmax = min(choices.values(),
+                         key=lambda m: rec[m]["step_us"])
+            rec["argmax_layout"] = argmax
             for label, prefer in (("auto", False), ("auto_mem", True)):
-                dec = choose_layout(latent_m, spec, prefer_memory=prefer)
-                picked = {False: "dense", "v": "latent_v",
-                          "kv": "latent_fused"}[dec.latent]
+                dec = choose_layout(latent_m, spec, prefer_memory=prefer,
+                                    expected_T=T)
+                picked = choices[dec.latent]
                 rec[label] = {
                     "picked": picked, "use_pallas": dec.use_pallas,
                     "vs_dense": round(rec["dense"]["step_us"]
                                       / rec[picked]["step_us"], 3),
                     "cache_ratio": round(rec[picked]["cache_mb"]
                                          / rec["dense"]["cache_mb"], 3),
+                    "matches_argmax": picked == argmax,
                 }
             out["runs"][f"{geo_name}_T{T}"] = rec
             print(json.dumps({f"{geo_name}_T{T}": rec}), flush=True)

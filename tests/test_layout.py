@@ -95,3 +95,31 @@ def test_gqa_thin_saving_stays_dense():
     dec3 = choose_layout(_params(gqa, v_rank=12, k_rank=12), gqa,
                          backend="cpu", prefer_memory=True)
     assert dec3.latent == "kv"
+
+
+def test_context_length_aware_crossovers():
+    """VERDICT r4 item 5: the selector encodes the measured per-T
+    crossovers (model_decode_bench_r4d), not the worst case. The two
+    geometries cross in OPPOSITE directions: MHA latent-V needs long T to
+    amortize its T-independent up-projection (0.955x at T1024, 1.256x at
+    T4096); thin-saving GQA wins only at short T (1.014x at T1024, 0.871x
+    at T4096 — the paged kernel's ragged-read cost grows with pages)."""
+    mha = _spec(num_kv_heads=4)         # rep == 1, kv_dim 32
+    p_mha = _params(mha, v_rank=24)
+    assert choose_layout(p_mha, mha, backend="cpu",
+                         expected_T=1024).latent is False
+    assert choose_layout(p_mha, mha, backend="cpu",
+                         expected_T=4096).latent == "v"
+
+    gqa = _spec()                       # rep == 2, kv_dim 16
+    p_thin = _params(gqa, v_rank=12)    # thin: Rv > 0.5*kv_dim
+    assert choose_layout(p_thin, gqa, backend="cpu",
+                         expected_T=1024).latent == "v"
+    assert choose_layout(p_thin, gqa, backend="cpu",
+                         expected_T=4096).latent is False
+
+    # strong-saving GQA keeps latent-V at every T
+    p_strong = _params(gqa, v_rank=6)
+    for T in (512, 1024, 4096, 16384):
+        assert choose_layout(p_strong, gqa, backend="cpu",
+                             expected_T=T).latent == "v"
