@@ -75,14 +75,13 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
     # representation per phase — the stacked scan arrays through the
     # calib/scan phases, then the growing compressed model
     # (models/hostmem.py). Runs after calib-data generation (selfgen
-    # decodes with the device-resident model) and is skipped in fisher
-    # mode (the backward needs per-layer device leaves).
+    # decodes with the device-resident model). Fisher mode composes: the
+    # backward streams one layer at a time (calib/fisher.py streamed path).
     from asvd4llm_tpu.models import hostmem
     from asvd4llm_tpu.models.scan_forward import can_scan, stack_layers
     stacked = None
     if ((hostmem.is_host_layers(params) or hostmem.should_offload(
             params, mesh)) and can_scan(params, spec)
-            and "fisher" not in cfg.scaling_method
             and cfg.sensitivity_metric == "ppl"):
         if not hostmem.is_host_layers(params):
             params = hostmem.offload_layers(params)
