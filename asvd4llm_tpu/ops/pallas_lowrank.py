@@ -39,6 +39,31 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+def _pick_tile(dim_padded: int, cap: int):
+    """Largest 128-multiple tile <= cap that DIVIDES dim_padded, or None.
+
+    A dividing tile means the operand dispatches with NO runtime jnp.pad.
+    That matters enormously in the serving decode step: weights are jit
+    ARGUMENTS there, so a pad of the int8 code arrays re-copies the whole
+    factor (read + write + kernel re-read) EVERY step — measured as the
+    bulk of q8 serving's 29% roofline gap in round 4 (serving_bench_r4c:
+    q8 at 71% of its ceiling while dense sat at 98%)."""
+    top = min(cap, dim_padded)
+    for t in range(top - top % 128, 127, -128):
+        if dim_padded % t == 0:
+            return t
+    return None
+
+
+def _pad2(arr, rows: int, cols: int):
+    """Zero-pad a 2-D array up to [rows, cols]; Python no-op when already
+    that shape (jit sees shapes statically, so the branch is free)."""
+    r, c = arr.shape
+    if r == rows and c == cols:
+        return arr
+    return jnp.pad(arr, ((0, rows - r), (0, cols - c)))
+
+
 def _kernel(x_ref, b_ref, a_ref, bias_ref, y_ref, t_acc, *, nk, nn):
     g = pl.program_id(0)
 
@@ -408,18 +433,25 @@ def fused_lowrank_apply_q4(x, a4, asc, azs, b4, bsc, bzs, bias=None, *,
 
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     Mp = _round_up(max(M, sub), sub)
-    tk, tn = q4_tiles(Kp, N)
+    # row-padded A4 (prepad_quantized_leaves) dispatches with no runtime
+    # pad of the code array — same serving-step traffic fix as q8
+    NpA = max(N, a4.shape[0])
+    tk, tn = q4_tiles(Kp, NpA)
+    if NpA % tn:
+        t2 = _pick_tile(NpA, _MAX_TILE)
+        if t2 is not None and t2 % 512 == 0:
+            tn = t2
     Kp2 = _round_up(Kp, tk)
-    Np = _round_up(N, tn)
-    x2 = jnp.pad(x.reshape(M, K), ((0, Mp - M), (0, Kp2 - K)))
-    a4p = jnp.pad(a4, ((0, Np - N), (0, 0)))
-    ascp = jnp.pad(asc.astype(jnp.float32), ((0, Np - N), (0, 0)))
-    azsp = jnp.pad(azs.astype(jnp.float32), ((0, Np - N), (0, 0)))
-    b4p = jnp.pad(b4, ((0, 0), (0, (Kp2 - Kp) // 2)))
-    bscp = jnp.pad(bsc.astype(jnp.float32),
-                   ((0, 0), (0, (Kp2 - Kp) // group)))
-    bzsp = jnp.pad(bzs.astype(jnp.float32),
-                   ((0, 0), (0, (Kp2 - Kp) // group)))
+    Np = _round_up(NpA, tn)
+    x2 = _pad2(x.reshape(M, K), Mp, Kp2)
+    a4p = _pad2(a4, Np, a4.shape[1])
+    ascp = _pad2(asc.astype(jnp.float32), Np, asc.shape[1])
+    azsp = _pad2(azs.astype(jnp.float32), Np, azs.shape[1])
+    b4p = _pad2(b4, b4.shape[0], Kp2 // 2)
+    bscp = _pad2(bsc.astype(jnp.float32), bsc.shape[0],
+                 bsc.shape[1] + (Kp2 - Kp) // group)
+    bzsp = _pad2(bzs.astype(jnp.float32), bzs.shape[0],
+                 bzs.shape[1] + (Kp2 - Kp) // group)
     biasp = jnp.zeros((1, Np), x.dtype) if bias is None else \
         jnp.pad(bias.astype(x.dtype), (0, Np - N)).reshape(1, Np)
     y = _fused_2d_q4(x2, a4p, ascp, azsp, b4p, bscp, bzsp,
@@ -428,14 +460,21 @@ def fused_lowrank_apply_q4(x, a4, asc, azs, b4, bsc, bzs, bias=None, *,
 
 
 def fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, bias=None, *,
-                           interpret=False):
+                           interpret=False, tile_cap=None):
     """Quantized-factor fused apply: y = (x @ dq(B8).T) @ dq(A8).T + bias.
-    a_qp / b_qp are ops.quant.QuantParams (per-row scale & zero)."""
+    a_qp / b_qp are ops.quant.QuantParams (per-row scale & zero).
+
+    True dims come from the SCALES (never padded); the code arrays may be
+    PRE-PADDED to tile multiples (prepad_quantized_leaves — the serving
+    engine does this once at init) so the decode step dispatches with no
+    runtime jnp.pad of weight-sized arrays, and tiles are chosen to DIVIDE
+    the padded dims (see _pick_tile)."""
     from asvd4llm_tpu.ops.lowrank import lowrank_apply
     from asvd4llm_tpu.ops.quant import dequantize
 
     K = x.shape[-1]
-    N, R = a8.shape
+    N = a_qp.scale.shape[0]
+    R = b_qp.scale.shape[0]
     lead = x.shape[:-1]
     M = 1
     for d in lead:
@@ -443,28 +482,34 @@ def fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, bias=None, *,
 
     on_tpu = jax.default_backend() == "tpu"
     if not (interpret or on_tpu) or M > _MAX_FUSED_TOKENS:
-        a = dequantize(a8, a_qp, x.dtype)
-        b = dequantize(b8, b_qp, x.dtype)
+        # prefill / CPU: slice possibly pre-padded codes back to true dims
+        a = dequantize(a8[:N, :R], a_qp, x.dtype)
+        b = dequantize(b8[:R, :K], b_qp, x.dtype)
         return lowrank_apply(x, a, b, bias)
 
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     Mp = _round_up(max(M, sub), sub)
-    Rp = _round_up(R, 128)
-    # large tiles: grid-step overhead (~7 us/step measured), not DMA,
-    # bounds the decode-regime kernel at 512 tiles
-    tk = min(_MAX_TILE, _round_up(K, 128))
-    tn = min(_MAX_TILE, _round_up(N, 128))
-    Kp = _round_up(K, tk)
-    Np = _round_up(N, tn)
+    Rp = max(_round_up(R, 128), a8.shape[1], b8.shape[0])
+    cap = tile_cap or _MAX_TILE
+    Kp = max(_round_up(K, 128), b8.shape[1])
+    Np = max(_round_up(N, 128), a8.shape[0])
+    tk = _pick_tile(Kp, cap)
+    tn = _pick_tile(Np, cap)
+    if tk is None:  # no dividing tile: round up and pad (one-off shapes)
+        tk = min(cap, _round_up(K, 128))
+        Kp = _round_up(K, tk)
+    if tn is None:
+        tn = min(cap, _round_up(N, 128))
+        Np = _round_up(N, tn)
 
-    x2 = jnp.pad(x.reshape(M, K), ((0, Mp - M), (0, Kp - K)))
-    a8p = jnp.pad(a8, ((0, Np - N), (0, Rp - R)))
-    b8p = jnp.pad(b8, ((0, Rp - R), (0, Kp - K)))
-    asc = jnp.pad(a_qp.scale.astype(jnp.float32), ((0, Np - N), (0, 0)))
-    azp = jnp.pad(a_qp.zero.astype(jnp.float32), ((0, Np - N), (0, 0)))
+    x2 = _pad2(x.reshape(M, K), Mp, Kp)
+    a8p = _pad2(a8, Np, Rp)
+    b8p = _pad2(b8, Rp, Kp)
+    asc = _pad2(a_qp.scale.astype(jnp.float32).reshape(N, 1), Np, 1)
+    azp = _pad2(a_qp.zero.astype(jnp.float32).reshape(N, 1), Np, 1)
     # padded rows must dequantize to zero: zero scale does it
-    bsc = jnp.pad(b_qp.scale.astype(jnp.float32), ((0, Rp - R), (0, 0)))
-    bzp = jnp.pad(b_qp.zero.astype(jnp.float32), ((0, Rp - R), (0, 0)))
+    bsc = _pad2(b_qp.scale.astype(jnp.float32).reshape(R, 1), Rp, 1)
+    bzp = _pad2(b_qp.zero.astype(jnp.float32).reshape(R, 1), Rp, 1)
     biasp = jnp.zeros((1, Np), x.dtype) if bias is None else \
         jnp.pad(bias.astype(x.dtype), (0, Np - N)).reshape(1, Np)
 
@@ -476,6 +521,47 @@ def fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, bias=None, *,
 # decode-regime cap: above this token count the op is compute-bound and the
 # XLA dot-dot path pipelines just as well without holding x in VMEM
 _MAX_FUSED_TOKENS = 1024
+
+
+def prepad_quantized_leaves(params, spec):
+    """Pad every q8/q4 leaf's CODE arrays to the fused kernels' tile grid,
+    once. Scales/zeros/bias keep their true dims (they carry N/R for the
+    apply and stay consistent for export consumers, which always use the
+    original unpadded pytree — this returns an engine-private copy).
+
+    Why: the serving engine passes params as jit ARGUMENTS, so any
+    jnp.pad of a weight-sized array inside the decode step re-copies the
+    whole factor every step — measured in round 4 as the bulk of q8
+    serving's 29% roofline gap (q8 71.3% vs dense 98.0%,
+    serving_bench_r4c.json). After this, `fused_lowrank_apply_q8/q4`'s
+    `_pad2` calls are Python no-ops and `_pick_tile` finds dividing tiles."""
+    from asvd4llm_tpu.models.registry import (
+        is_q4_lowrank, is_q8_lowrank, iter_linears, set_linear,
+    )
+
+    out = params
+    for name, leaf in iter_linears(params, spec, include_extras=True):
+        if is_q8_lowrank(leaf):
+            N, R = leaf["A8"].shape
+            Rb, K = leaf["B8"].shape
+            Np, Rp, Kp = (_round_up(N, 512), _round_up(max(R, Rb), 128),
+                          _round_up(K, 512))
+            if (N, R, Rb, K) == (Np, Rp, Rp, Kp):
+                continue
+            new = dict(leaf)
+            new["A8"] = _pad2(jnp.asarray(leaf["A8"]), Np, Rp)
+            new["B8"] = _pad2(jnp.asarray(leaf["B8"]), Rp, Kp)
+            out = set_linear(out, spec, name, new)
+        elif is_q4_lowrank(leaf):
+            N = leaf["Asc"].shape[0]
+            Np = _round_up(N, 512)
+            if N == Np:
+                continue
+            new = dict(leaf)
+            new["A4"] = _pad2(jnp.asarray(leaf["A4"]), Np,
+                              leaf["A4"].shape[1])
+            out = set_linear(out, spec, name, new)
+    return out
 
 
 def fused_lowrank_apply(x, a, b, bias=None, *, interpret=False,

@@ -70,6 +70,12 @@ class PagedEngine:
                  top_p: float = 1.0, seed: int = 0,
                  prefill_chunk: int = 0, prefix_cache: int = 0,
                  prefer_memory: bool = False):
+        # engine-private copy with q8/q4 code arrays pre-padded to the
+        # fused kernels' tile grid: params are jit ARGUMENTS of the decode
+        # step, so runtime pads would re-copy every factor EVERY step
+        # (round-4's q8 roofline gap; ops/pallas_lowrank.py)
+        from asvd4llm_tpu.ops.pallas_lowrank import prepad_quantized_leaves
+        params = prepad_quantized_leaves(params, spec)
         self.params, self.spec = params, spec
         self.page_size = page_size
         self.eos_token_id = eos_token_id

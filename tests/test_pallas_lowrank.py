@@ -102,3 +102,75 @@ def test_fused_q8_unaligned_rank():
     out = fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, None, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_prepadded_codes_match_unpadded():
+    """prepad_quantized_leaves pads ONLY code arrays; the apply must
+    return identical results on both the kernel path (interpret) and the
+    XLA fallback, with tiles chosen to make every runtime pad a no-op."""
+    import jax
+
+    from asvd4llm_tpu.ops.pallas_lowrank import (
+        _pad2, _pick_tile, fused_lowrank_apply_q8,
+    )
+    from asvd4llm_tpu.ops.quant import quantize_to_int
+
+    M, K, N, R = 8, 384, 200, 72   # deliberately unaligned N/R
+    x = jax.random.normal(jax.random.PRNGKey(20), (M, K), jnp.float32)
+    a = jax.random.normal(jax.random.PRNGKey(21), (N, R)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(22), (R, K)) * 0.1
+    a8, a_qp = quantize_to_int(a, 8)
+    b8, b_qp = quantize_to_int(b, 8)
+
+    ref_i = fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, interpret=True)
+    ref_x = fused_lowrank_apply_q8(jnp.tile(x, (200, 1)), a8, a_qp, b8,
+                                   b_qp)  # M>cap -> XLA fallback
+
+    a8p = _pad2(a8, 512, 128)
+    b8p = _pad2(b8, 128, 512)
+    out_i = fused_lowrank_apply_q8(x, a8p, a_qp, b8p, b_qp, interpret=True)
+    out_x = fused_lowrank_apply_q8(jnp.tile(x, (200, 1)), a8p, a_qp, b8p,
+                                   b_qp)
+    assert out_i.shape == (M, N)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref_x),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pick_tile_divides_or_none():
+    from asvd4llm_tpu.ops.pallas_lowrank import _pick_tile
+    assert _pick_tile(4096, 512) == 512
+    assert _pick_tile(4096, 2048) == 2048
+    assert _pick_tile(11264, 1024) == 1024   # pre-padded 11008
+    assert _pick_tile(11008, 512) == 256     # unpadded: 128*86
+    assert _pick_tile(128, 512) == 128
+    assert _pick_tile(7 * 128, 512) == 128   # 128*7: no larger 128-mult divides
+    assert _pick_tile(127, 512) is None
+
+
+def test_prepad_quantized_leaves_engine_private():
+    """prepad pads codes to the tile grid and leaves scales/bias at true
+    dims; non-quantized leaves pass through untouched."""
+    from asvd4llm_tpu.models.init import init_params
+    from asvd4llm_tpu.models.spec import llama_spec
+    from asvd4llm_tpu.ops.pallas_lowrank import prepad_quantized_leaves
+    from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int8
+    from asvd4llm_tpu.ops.asvd import factorize_linear
+
+    spec = llama_spec(vocab_size=64, hidden_size=32, intermediate_size=48,
+                      num_layers=1, num_heads=2, num_kv_heads=2, head_dim=16,
+                      max_position_embeddings=32)
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lay = params["layers"][0]
+    f = factorize_linear(np.asarray(lay["up_proj"]["w"]), None, 0.9,
+                         act_aware=False, rank_align=8)
+    lay["up_proj"] = {"A": f.A, "B": f.B, "b": None}
+    q = quantize_lowrank_factors_int8(params, spec)
+    p = prepad_quantized_leaves(q, spec)
+    leaf = p["layers"][0]["up_proj"]
+    assert leaf["A8"].shape[0] % 512 == 0 and leaf["A8"].shape[1] % 128 == 0
+    assert leaf["B8"].shape[1] % 512 == 0
+    assert leaf["Asc"].shape[0] == 48      # true N preserved in scales
+    # the original pytree is untouched
+    assert q["layers"][0]["up_proj"]["A8"].shape[0] == 48
