@@ -179,9 +179,24 @@ def _ppl_multi_ratio_bucketed(params, spec, ids, key, target, w_hats, limit):
     return jax.vmap(eval_one)(w_hats)
 
 
+# Row blocking (VERDICT r4 item 6): every jitted scan program below sees a
+# FIXED-size row block [rb, S-1, ...], never the full [n_calib, ...] set —
+# program shapes (and thus the persistent compile cache) are independent of
+# n_calib, so a cheap probe-budget run (n=2) warms the canonical run's
+# (n=32) expensive suffix-evaluator programs. The cached hidden lives as a
+# LIST of rb-blocks end to end (embed -> advance -> eval); a masked
+# remainder block replaces the old second remainder program. rb collapses
+# to min(rb, n) only in the tiny-calib regime (n < 2048/(S-1): CPU tests),
+# where padding waste would dominate and compiles are cheap anyway.
+
+
+def _row_block(n: int, S: int) -> int:
+    return max(1, min(2048 // max(S - 1, 1), n))
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def _embed_rows(params, spec, rows):
-    """[n, S] id rows -> layer-0 input hidden [n, S-1, H] (inputs are
+    """[rb, S] id rows -> layer-0 input hidden [rb, S-1, H] (inputs are
     rows[:, :-1]; labels are rows[:, 1:])."""
     from asvd4llm_tpu.models.scan_forward import embed_scan_inputs
 
@@ -189,27 +204,14 @@ def _embed_rows(params, spec, rows):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "rb"))
-def _advance_rows(params, stacked, spec, hidden, idx, rb):
-    """Apply dense decoder layer `idx` (traced) to every row's cached
-    hidden — the incremental prefix update after a layer's grid is done.
-    Rows go rb at a time to bound the attention score transient."""
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _advance_block(params, stacked, spec, hidden, idx):
+    """Apply dense decoder layer `idx` (traced) to one row block's cached
+    hidden — the incremental prefix update after a layer's grid is done."""
     from asvd4llm_tpu.models.scan_forward import apply_stacked_layer
 
-    n = hidden.shape[0]
-    n_full = (n // rb) * rb
-    chunks = hidden[:n_full].reshape(n // rb, rb, *hidden.shape[1:])
-
-    def body(_, h):
-        return None, apply_stacked_layer(params, h, spec, stacked=stacked,
-                                         idx=idx)
-    _, out = jax.lax.scan(body, None, chunks)
-    out = out.reshape(n_full, *hidden.shape[1:])
-    if n_full < n:
-        rem = apply_stacked_layer(params, hidden[n_full:], spec,
-                                  stacked=stacked, idx=idx)
-        out = jnp.concatenate([out, rem], axis=0)
-    return out
+    return apply_stacked_layer(params, hidden, spec, stacked=stacked,
+                               idx=idx)
 
 
 def _ce_mean_chunked(head_params, spec, out, lab, ck=256):
@@ -251,71 +253,59 @@ def _ce_mean_chunked(head_params, spec, out, lab, ck=256):
     return total / S
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "leaf_key", "rb"))
-def _ppl_multi_ratio_suffix(params, stacked, spec, hidden, labels, leaf_key,
-                            target, w_hats, rb):
-    """Prefix-cached grid evaluator: `hidden` is the dense model's hidden
-    at layer `target`'s input (layers < target already applied — identical
-    to what the full forward would compute, since a single-layer trial
-    only diverges FROM the substituted layer). Each candidate therefore
-    pays only the target..L-1 suffix plus the lm_head: half the full
-    forward on average over a scan, and the suffix scan itself skips the
-    prefix iterations via lax.cond (no weight fetch). Compiles once per
-    (leaf_key, shapes) — O(1) in depth and independent of target."""
+@functools.partial(jax.jit, static_argnames=("spec", "leaf_key"))
+def _ppl_multi_ratio_suffix(params, stacked, spec, hidden, labels, mask,
+                            leaf_key, target, w_hats):
+    """Prefix-cached grid evaluator for ONE row block: `hidden` [rb, S-1,
+    H] is the dense model's hidden at layer `target`'s input (layers <
+    target already applied — identical to what the full forward would
+    compute, since a single-layer trial only diverges FROM the substituted
+    layer). Each candidate therefore pays only the target..L-1 suffix plus
+    the lm_head: half the full forward on average over a scan, and the
+    suffix scan itself skips the prefix iterations via lax.cond (no weight
+    fetch). Compiles once per (leaf_key, block shape) — O(1) in depth,
+    independent of target AND of n_calib (the caller loops fixed-size
+    blocks; `mask` [rb] zeroes padded remainder rows). Returns the
+    per-candidate SUM of masked per-row mean NLLs [C]."""
     from asvd4llm_tpu.models.scan_forward import forward_hidden_scan_from
 
-    n = hidden.shape[0]
-    n_full = (n // rb) * rb
-    h_chunks = hidden[:n_full].reshape(n // rb, rb, *hidden.shape[1:])
-    l_chunks = labels[:n_full].reshape(n // rb, rb, labels.shape[1])
-
-    def nll(w_hat, h, lab):
-        out = forward_hidden_scan_from(params, h, spec, stacked=stacked,
+    def nll_sum(w_hat):
+        out = forward_hidden_scan_from(params, hidden, spec, stacked=stacked,
                                        start=target,
                                        substitute=(leaf_key, target, w_hat))
-        return _ce_mean_chunked(params, spec, out, lab)
+        return (_ce_mean_chunked(params, spec, out, labels) * mask).sum()
 
-    def eval_one(w_hat):
-        def body(carry, xs):
-            h, lab = xs
-            return carry + nll(w_hat, h, lab).sum(), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), (h_chunks, l_chunks))
-        if n_full < n:
-            total = total + nll(w_hat, hidden[n_full:], labels[n_full:]).sum()
-        return jnp.exp(total / n)
-
-    return jax.vmap(eval_one)(w_hats)
+    return jax.vmap(nll_sum)(w_hats)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "rb"))
-def _ppl_head_grid(params, spec, hidden, labels, w_hats, bias, rb):
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _ppl_head_grid(params, spec, hidden, labels, mask, w_hats, bias):
     """lm_head candidates leave the decoder untouched, so the hidden after
     ALL layers (pre final-norm) is fixed: each grid point costs one head
     GEMM + CE instead of the reference's full forward per ratio
-    (ref sensitivity.py:43-59 applied to the lm_head module)."""
+    (ref sensitivity.py:43-59 applied to the lm_head module). One row
+    block per call, like _ppl_multi_ratio_suffix."""
     from asvd4llm_tpu.models.scan_forward import _finish_hidden
 
-    n = hidden.shape[0]
-    n_full = (n // rb) * rb
-    h_chunks = hidden[:n_full].reshape(n // rb, rb, *hidden.shape[1:])
-    l_chunks = labels[:n_full].reshape(n // rb, rb, labels.shape[1])
-
-    def nll(w_hat, h, lab):
-        h_fin = _finish_hidden(params, spec, h)
+    def nll_sum(w_hat):
+        h_fin = _finish_hidden(params, spec, hidden)
         trial = dict(params)
         trial["lm_head"] = {"w": w_hat, "b": bias}
-        return _ce_mean_chunked(trial, spec, h_fin, lab)
+        return (_ce_mean_chunked(trial, spec, h_fin, labels) * mask).sum()
 
-    def eval_one(w_hat):
-        def body(carry, xs):
-            h, lab = xs
-            return carry + nll(w_hat, h, lab).sum(), None
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), (h_chunks, l_chunks))
-        if n_full < n:
-            total = total + nll(w_hat, hidden[n_full:], labels[n_full:]).sum()
-        return jnp.exp(total / n)
+    return jax.vmap(nll_sum)(w_hats)
 
-    return jax.vmap(eval_one)(w_hats)
+
+def _blocks_ppl(n: int, block_eval) -> "np.ndarray":
+    """exp(sum over blocks of masked NLL sums / n) — the host-side block
+    accumulator shared by the suffix and head grid evaluators. block_eval
+    yields per-candidate NLL-sum arrays; the np.asarray fetch per block is
+    also the device sync that bounds live blocks to one."""
+    total = None
+    for out in block_eval:
+        part = np.asarray(out)
+        total = part if total is None else total + part
+    return np.exp(total / n)
 
 
 def _resolve_backend(cfg, out_f, in_f, max_rank):
@@ -450,19 +440,27 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
     # duplicate per-layer copy as jit args otherwise.
     hp = {k: v for k, v in params.items() if k != "layers"}
     limit = min(cfg.n_calib_samples, input_ids.shape[0])
-    rows = jnp.asarray(input_ids[:limit])
-    n, S = rows.shape
-    labels = rows[:, 1:]
-    # chunk sizes bound the attention-score transient; the suffix
-    # evaluator additionally vmaps the whole candidate grid over rb rows
-    rb = min(max(1, 2048 // max(S - 1, 1)), n)
-    rb_adv = min(max(1, 4096 // S), n)
-    hidden = _embed_rows(hp, spec, rows)
+    rows_np = np.asarray(input_ids[:limit])
+    n, S = rows_np.shape
+    # fixed-size row blocks with a masked remainder: program shapes are
+    # independent of n_calib (see _row_block / module comment above)
+    rb = _row_block(n, S)
+    n_pad = -(-n // rb) * rb
+    if n_pad > n:
+        rows_np = np.concatenate(
+            [rows_np, np.zeros((n_pad - n, S), rows_np.dtype)])
+    valid_rows = (np.arange(n_pad) < n).astype(np.float32)
+    h_blocks, l_blocks, m_blocks = [], [], []
+    for i in range(0, n_pad, rb):
+        blk = jnp.asarray(rows_np[i:i + rb])
+        h_blocks.append(_embed_rows(hp, spec, blk))
+        l_blocks.append(blk[:, 1:])
+        m_blocks.append(jnp.asarray(valid_rows[i:i + rb]))
 
     def resident_bytes():
         live = ([] if stacked is None else jax.tree.leaves(stacked)) \
             + jax.tree.leaves(hp)
-        return sum(x.nbytes for x in live) + hidden.nbytes
+        return sum(x.nbytes for x in live) + sum(h.nbytes for h in h_blocks)
 
     sensitivity: dict = {}
     key = jax.random.PRNGKey(cfg.seed)
@@ -483,9 +481,10 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             key, sub = jax.random.split(key)
             valid, ppls, finite = _grid_eval_streamed(
                 leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
-                lambda wh: _ppl_multi_ratio_suffix(
-                    hp, stacked, spec, hidden, labels, k, jnp.int32(li),
-                    wh, rb))
+                lambda wh: _blocks_ppl(n, (
+                    _ppl_multi_ratio_suffix(hp, stacked, spec, h, lab, m,
+                                            k, jnp.int32(li), wh)
+                    for h, lab, m in zip(h_blocks, l_blocks, m_blocks))))
             for ratio in set(grid) - set(valid):
                 sensitivity[name][ratio] = float("inf")
             if not valid:
@@ -499,12 +498,13 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             log.info("sensitivity %s done (%d pts, %.1fs elapsed)",
                      name, n_pts, time.time() - t0)
         # advance the cached prefix past this (dense) layer
-        hidden = _advance_rows(hp, stacked, spec, hidden,
-                               jnp.int32(li), rb_adv)
+        h_blocks = [_advance_block(hp, stacked, spec, h, jnp.int32(li))
+                    for h in h_blocks]
         if jax.default_backend() == "tpu":
             # host-fetch sync (see _grid_eval_streamed): the next leaf's
-            # SVD must not dispatch while the advance still runs
-            float(hidden[0, 0, 0])
+            # SVD must not dispatch while the advance still runs (the last
+            # block syncs all — in-order execution on one device)
+            float(h_blocks[-1][0, 0, 0])
 
     if free_stacked and stacked is not None:
         # the extras stage (lm_head grid) never touches the decoder stack,
@@ -529,8 +529,10 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             if name == LM_HEAD_NAME:
                 valid, ppls, finite = _grid_eval_streamed(
                     leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
-                    lambda wh: _ppl_head_grid(hp, spec, hidden, labels,
-                                              wh, leaf["b"], rb))
+                    lambda wh: _blocks_ppl(n, (
+                        _ppl_head_grid(hp, spec, h, lab, m, wh, leaf["b"])
+                        for h, lab, m in zip(h_blocks, l_blocks,
+                                             m_blocks))))
                 for ratio in set(grid) - set(valid):
                     sensitivity[name][ratio] = float("inf")
                 if not valid:

@@ -218,3 +218,40 @@ def test_fisher_streamed_double_shift_parity():
     stream = calib_fisher_info(hostmem.offload_layers(fresh), spec, loader,
                                double_shift=True)
     _assert_fisher_equal(dev, stream)
+
+
+def test_scan_programs_independent_of_n_calib():
+    """VERDICT r4 item 6: the suffix-evaluator program shapes must not
+    depend on n_calib once n >= the fixed row block, so a probe-budget
+    run warms the canonical run's compile cache. Two scans at different
+    n (both >= rb) must add ZERO new compiled programs for the block
+    evaluators on the second run."""
+    from asvd4llm_tpu.calib import sensitivity as S
+
+    spec = llama_spec(vocab_size=96, hidden_size=32, intermediate_size=48,
+                      num_layers=2, num_heads=4, num_kv_heads=4, head_dim=8,
+                      max_position_embeddings=64)
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+
+    def run(n):
+        loader = [{"input_ids": rng.randint(0, 96, size=(1, 48))}
+                  for _ in range(n)]
+        cfg = ASVDConfig(model_id="t", calib_dataset="synthetic",
+                         param_ratio_target=0.8, act_aware=False,
+                         alpha=0.5, n_calib_samples=n, seqlen=48,
+                         svd_backend="exact", eval_dtype="float32",
+                         use_cache=False)
+        return calib_sensitivity_ppl(params, spec, loader, cfg)
+
+    # S=48 -> rb = 2048//47 = 43 -> min(43, n): rb differs when n < 43...
+    # use n big enough that rb is the same? rb = min(43, n). For the
+    # production regime (S=2048) rb=1 always; emulate by asserting the
+    # BLOCK evaluator's cache does not grow when n grows past rb.
+    n1, n2 = 43, 86   # rb = 43 for both -> identical block shapes
+    run(n1)
+    c_suffix = S._ppl_multi_ratio_suffix._cache_size()
+    c_advance = S._advance_block._cache_size()
+    run(n2)
+    assert S._ppl_multi_ratio_suffix._cache_size() == c_suffix
+    assert S._advance_block._cache_size() == c_advance
