@@ -182,3 +182,53 @@ def test_serve_cli_batch_mode(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("---") == 2  # one block per request
+
+
+def test_cache_pack_roundtrip(tmp_path):
+    """pack -> wipe -> restore reproduces the cache byte-for-byte; the
+    size cap skips oversized programs; restore never overwrites."""
+    from asvd4llm_tpu.tools import cache_pack
+
+    src = tmp_path / "jax_cache"
+    src.mkdir()
+    (src / "jit_a-cache").write_bytes(b"x" * 100)
+    (src / "jit_b-cache").write_bytes(b"y" * 5000)
+    tar = tmp_path / "c.tar"
+    n = cache_pack.pack(str(src), str(tar), max_bytes=1000)
+    assert n == 1  # b skipped by the cap
+    n = cache_pack.pack(str(src), str(tar))
+    assert n == 2
+
+    dst = tmp_path / "fresh"
+    assert cache_pack.restore(str(dst), str(tar)) == 2
+    assert (dst / "jit_a-cache").read_bytes() == b"x" * 100
+    assert (dst / "jit_b-cache").read_bytes() == b"y" * 5000
+    # idempotent: nothing overwritten on second restore
+    assert cache_pack.restore(str(dst), str(tar)) == 0
+    rows = cache_pack.inventory(str(src))
+    assert rows[0][0] == 5000
+
+
+def test_cache_pack_roundtrip(tmp_path):
+    """pack -> wipe -> restore reproduces the cache byte-for-byte; the
+    size cap skips oversized programs; restore never overwrites."""
+    from asvd4llm_tpu.tools import cache_pack
+
+    src = tmp_path / "jax_cache"
+    src.mkdir()
+    (src / "jit_a-cache").write_bytes(b"x" * 100)
+    (src / "jit_b-cache").write_bytes(b"y" * 5000)
+    tar = tmp_path / "c.tar"
+    n = cache_pack.pack(str(src), str(tar), max_bytes=1000)
+    assert n == 1  # b skipped by the cap
+    n = cache_pack.pack(str(src), str(tar))
+    assert n == 2
+
+    dst = tmp_path / "fresh"
+    assert cache_pack.restore(str(dst), str(tar)) == 2
+    assert (dst / "jit_a-cache").read_bytes() == b"x" * 100
+    assert (dst / "jit_b-cache").read_bytes() == b"y" * 5000
+    # idempotent: nothing overwritten on second restore
+    assert cache_pack.restore(str(dst), str(tar)) == 0
+    rows = cache_pack.inventory(str(src))
+    assert rows[0][0] == 5000
