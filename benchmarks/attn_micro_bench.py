@@ -82,7 +82,7 @@ def _scan_attend(spec, pos0, up):
     return run
 
 
-def bench_geo(kv_heads, T, ratio=0.8):
+def bench_geo(kv_heads, T, ratio=0.8, page=256):
     spec = llama_spec(vocab_size=256, hidden_size=HID, intermediate_size=HID,
                       num_layers=1, num_heads=32, num_kv_heads=kv_heads,
                       head_dim=128, max_position_embeddings=T + 64)
@@ -184,7 +184,8 @@ def bench_geo(kv_heads, T, ratio=0.8):
     from asvd4llm_tpu.ops.pallas_latent_attention import (
         paged_dense_decode_attention,
     )
-    P = 256
+    P = page
+    assert T % P == 0, (T, P)
     nP = T // P
     pt = jnp.arange(B * nP, dtype=jnp.int32).reshape(B, nP)
     k_pool = kc.reshape(B * nP, P, KV, hd)
@@ -236,13 +237,16 @@ def main(argv=None):
     ap.add_argument("--json", default=None)
     ap.add_argument("--contexts", default="1024,4096")
     ap.add_argument("--geos", default="gqa8,mha32")
+    ap.add_argument("--page", type=int, default=256,
+                    help="paged-kernel page size (sweepable, VERDICT r4 #4)")
     ns = ap.parse_args(argv)
     geos = {"gqa8": 8, "mha32": 32}
     out = {"backend": jax.default_backend(), "batch": B, "steps": STEPS,
+           "page": ns.page,
            "runs": {}}
     for g in ns.geos.split(","):
         for T in (int(t) for t in ns.contexts.split(",")):
-            rec = bench_geo(geos[g], T)
+            rec = bench_geo(geos[g], T, page=ns.page)
             out["runs"][f"{g}_T{T}"] = rec
             print(json.dumps({f"{g}_T{T}": rec}), flush=True)
     if ns.json:

@@ -163,13 +163,17 @@ def main(argv=None):
     # the product configuration: ASVD-compressed (all projections at 0.85,
     # deploy rank_align 128) with REAL int8 factors — weight traffic drops
     # ~2.3x vs dense bf16, raising the decode ceiling correspondingly
-    from asvd4llm_tpu.ops.quant_apply import quantize_lowrank_factors_int8
-    q8_m = quantize_lowrank_factors_int8(
-        _factor_model(dense, spec,
-                      ("q_proj", "k_proj", "v_proj", "o_proj",
-                       "gate_proj", "up_proj", "down_proj"),
-                      0.85, 128, jax.random.PRNGKey(3), jnp.bfloat16),
-        spec)
+    from asvd4llm_tpu.ops.quant_apply import (
+        quantize_lowrank_factors_int4, quantize_lowrank_factors_int8,
+    )
+    lowrank_m = _factor_model(dense, spec,
+                              ("q_proj", "k_proj", "v_proj", "o_proj",
+                               "gate_proj", "up_proj", "down_proj"),
+                              0.85, 128, jax.random.PRNGKey(3), jnp.bfloat16)
+    q8_m = quantize_lowrank_factors_int8(lowrank_m, spec)
+    # the reference's AWQ w4 deployment point (ref quantization.py:269):
+    # packed int4 factors, group-128 scales — weight bytes ~1/4 of dense
+    q4_m = quantize_lowrank_factors_int4(lowrank_m, spec, group=128)
 
     def _step_weight_bytes(params):
         """Bytes a decode step must read: all decoder-layer leaves +
@@ -207,7 +211,8 @@ def main(argv=None):
             ("dense_paged", dense, False, on_tpu),
             ("latent_flat", latent_m, True, False),
             ("latent_paged_fused", latent_m, True, on_tpu),
-            ("q8_lowrank_paged", q8_m, False, on_tpu)):
+            ("q8_lowrank_paged", q8_m, False, on_tpu),
+            ("q4_lowrank_paged", q4_m, False, on_tpu)):
         # full duplicate warm run (identical shapes -> everything cached),
         # report the second
         if name.endswith("_flat"):
@@ -236,7 +241,8 @@ def main(argv=None):
     total16 = sum(pages_needed(S + MAX_NEW + CHUNK, PAGE)
                   for S in prompts16) + 2
     for bname, bparams in (("dense_paged_b16", dense),
-                           ("q8_lowrank_paged_b16", q8_m)):
+                           ("q8_lowrank_paged_b16", q8_m),
+                           ("q4_lowrank_paged_b16", q4_m)):
         _engine_run(bparams, spec, prompts16, latent=False,
                     use_pallas=on_tpu, num_pages=total16,
                     max_pages=max_pages)
@@ -255,8 +261,10 @@ def main(argv=None):
     for rname, rparams, nseq, live in (
             ("dense_paged", dense, len(PROMPTS), paged8),
             ("q8_lowrank_paged", q8_m, len(PROMPTS), paged8),
+            ("q4_lowrank_paged", q4_m, len(PROMPTS), paged8),
             ("dense_paged_b16", dense, 16, 2 * paged8),
-            ("q8_lowrank_paged_b16", q8_m, 16, 2 * paged8)):
+            ("q8_lowrank_paged_b16", q8_m, 16, 2 * paged8),
+            ("q4_lowrank_paged_b16", q4_m, 16, 2 * paged8)):
         ceil = _ceiling(rparams, nseq, live, KV_TOK)
         r = out["runs"][rname]
         r["ceiling"] = ceil
@@ -313,6 +321,23 @@ def main(argv=None):
                 "traffic (batch>8 amortizes weights; quantized factors "
                 "cut weight bytes).",
     }
+    # capacity story (VERDICT r4 item 8): weight bytes per deployment
+    # format and the KV budget left on a 14.2 GB-plannable chip — max
+    # concurrent sequences at this workload's mean context. Quantized
+    # factors buy BATCH (weight bytes -> KV pages) even where they do not
+    # buy step latency.
+    from asvd4llm_tpu.utils.membudget import HBM_BUDGET
+    mean_ctx = live_tokens / B
+    cap = {}
+    for cname, cparams in (("dense", dense), ("lowrank_bf16", lowrank_m),
+                           ("q8", q8_m), ("q4", q4_m)):
+        wb = _step_weight_bytes(cparams) + H * VOCAB * 2  # + embed table
+        kv_budget = HBM_BUDGET - wb - 1 * 2 ** 30         # 1G activations
+        max_seqs = int(kv_budget // (mean_ctx * KV_TOK))
+        cap[cname] = {"weight_gb": round(wb / 2 ** 30, 2),
+                      "max_seqs_at_mean_ctx": max_seqs}
+    out["capacity_at_mean_ctx_%d" % int(mean_ctx)] = cap
+
     if ns.json:
         with open(ns.json, "w") as f:
             json.dump(out, f, indent=2)
