@@ -565,10 +565,12 @@ def prepad_quantized_leaves(params, spec):
 
 
 def fused_lowrank_apply(x, a, b, bias=None, *, interpret=False,
-                        max_tokens=_MAX_FUSED_TOKENS):
-    """Public entry: x [..., K] -> [..., N]; pads to hardware tiles and
-    dispatches to the fused kernel, falling back to XLA for prefill shapes
-    or non-TPU backends."""
+                        max_tokens=_MAX_FUSED_TOKENS, tile_cap=None):
+    """Public entry: x [..., K] -> [..., N]; dispatches to the fused
+    kernel, falling back to XLA for prefill shapes or non-TPU backends.
+    Tiles divide the dims when possible (no runtime pad of the factors —
+    the same per-dispatch traffic fix as the q8 path; round 4's bf16
+    kernel measurements paid a read+write copy of BOTH factors per call)."""
     from asvd4llm_tpu.ops.lowrank import lowrank_apply
 
     K = x.shape[-1]
@@ -585,15 +587,21 @@ def fused_lowrank_apply(x, a, b, bias=None, *, interpret=False,
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     Mp = _round_up(max(M, sub), sub)
     Rp = _round_up(R, 128)
-    tk = min(_MAX_TILE, _round_up(K, 128))
-    tn = min(_MAX_TILE, _round_up(N, 128))
-    Kp = _round_up(K, tk)
-    Np = _round_up(N, tn)
+    cap = tile_cap or _MAX_TILE
+    Kp = _round_up(K, 128)
+    Np = _round_up(N, 128)
+    tk = _pick_tile(Kp, cap)
+    tn = _pick_tile(Np, cap)
+    if tk is None:
+        tk = min(cap, Kp)
+        Kp = _round_up(K, tk)
+    if tn is None:
+        tn = min(cap, Np)
+        Np = _round_up(N, tn)
 
-    x2 = x.reshape(M, K)
-    x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp - K)))
-    ap = jnp.pad(a, ((0, Np - N), (0, Rp - R)))
-    bp = jnp.pad(b, ((0, Rp - R), (0, Kp - K)))
+    x2 = _pad2(x.reshape(M, K), Mp, Kp)
+    ap = _pad2(a, Np, Rp)
+    bp = _pad2(b, Rp, Kp)
     biasp = jnp.zeros((1, Np), x.dtype) if bias is None else \
         jnp.pad(bias.astype(x.dtype), (0, Np - N)).reshape(1, Np)
 

@@ -56,9 +56,19 @@ def _time(fn, sync, reps=REPS):
 
 
 def main(argv=None):
+    global H, I, M, REPS
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "would otherwise contend for the TPU claim)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny dims smoke (CI / CPU)")
     ns = ap.parse_args(argv)
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if ns.tiny:
+        H, I, M, REPS = 256, 384, 8, 2
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
