@@ -236,7 +236,8 @@ def _artifact_summary():
                         "benchmarks", "results")
     out = {}
     try:
-        d = _load_first(base, "model_decode_bench_r4d.json",
+        d = _load_first(base, "model_decode_bench_r5.json",
+                        "model_decode_bench_r4d.json",
                         "model_decode_bench_r4c.json",
                         "model_decode_bench_r4b.json",
                         "model_decode_bench_r4.json",
@@ -250,7 +251,8 @@ def _artifact_summary():
     except Exception:
         pass
     try:
-        d = _load_first(base, "serving_bench_r4c.json",
+        d = _load_first(base, "serving_bench_r5.json",
+                        "serving_bench_r4c.json",
                         "serving_bench_r4b.json",
                         "serving_bench_r4.json",
                         "serving_bench_r3.json")["runs"]
@@ -265,7 +267,8 @@ def _artifact_summary():
             out["paged_serving"]["admission_included_gen_tok_s"] = \
                 d["dense_admission_chunked"].get("gen_tokens_per_sec")
         for k in ("dense_paged", "dense_paged_b16", "q8_lowrank_paged",
-                  "q8_lowrank_paged_b16"):
+                  "q8_lowrank_paged_b16", "q4_lowrank_paged",
+                  "q4_lowrank_paged_b16"):
             if k in d:
                 out["paged_serving"][k] = {
                     "tok_s": d[k].get("decode_tokens_per_sec"),
@@ -283,7 +286,9 @@ def _artifact_summary():
     except Exception:
         pass
     try:
-        d = _load_first(base, "pipeline_bench_r4_full.json",
+        d = _load_first(base, "pipeline_bench_r5_rep1.json",
+                        "pipeline_bench_r5_full.json",
+                        "pipeline_bench_r4_full.json",
                         "pipeline_bench_r3.json")
         out["pipeline_7b_dims"] = {
             "measured_s": d["measured_s"],
@@ -326,6 +331,21 @@ def _artifact_summary():
                     v["randomized_vs_exact_err_ratio"]
                 for k, v in d.items() if k.startswith("mlp_decay_")},
         }
+    except Exception:
+        pass
+    try:
+        d = _load_first(base, "attn_micro_r5.json", "attn_micro_r4c.json")
+        out["attn_micro"] = {
+            k: {m: v[m] for m in ("paged_dense_vs_dense", "paged_lv_vs_dense",
+                                  "latent_fused_vs_dense") if m in v}
+            for k, v in d.get("runs", {}).items()}
+    except Exception:
+        pass
+    try:
+        d = _load_first(base, "q8_sweep_r5.json")
+        out["q8_kernel_sweep"] = {
+            "layer7_ideal_us": d.get("layer7_ideal_us"),
+            **{k: v for k, v in d.items() if k.startswith("layer7_prepad")}}
     except Exception:
         pass
     try:
