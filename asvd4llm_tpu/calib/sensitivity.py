@@ -308,6 +308,42 @@ def _blocks_ppl(n: int, block_eval) -> "np.ndarray":
     return np.exp(total / n)
 
 
+def _load_resume(path):
+    """Per-leaf resume state: one JSON line per finished leaf —
+    ``{"name", "li", "dt", "ratios": {str(ratio): ppl}}``. Written after
+    every leaf so a killed/recycled process (utils/hostguard.py: the axon
+    tunnel's per-buffer host retention forces periodic recycling) loses at
+    most the leaf in flight. Returns {name: (li, dt, {float: float})}."""
+    import json
+    import os
+
+    state = {}
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # torn final line from a killed process
+                state[rec["name"]] = (
+                    rec.get("li", -1), rec.get("dt", 0.0),
+                    {float(r): float(p) for r, p in rec["ratios"].items()})
+    return state
+
+
+def _append_resume(path, name, li, dt, ratios):
+    import json
+
+    with open(path, "a") as f:
+        f.write(json.dumps({"name": name, "li": li, "dt": round(dt, 2),
+                            "ratios": {str(r): p for r, p in ratios.items()}})
+                + "\n")
+        f.flush()
+
+
 def _resolve_backend(cfg, out_f, in_f, max_rank):
     """Resolve the SVD backend EAGERLY, at dispatch time, before entering
     the jitted evaluators (_recompose_stack / _grid_factors take it as a
@@ -415,7 +451,8 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
 def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                              stats, fisher, mesh, include_extras,
                              timings=None, stacked=None,
-                             free_stacked=False) -> dict:
+                             free_stacked=False, resume=None,
+                             max_rss_gb=None) -> dict:
     """Layer-major scan driver (uniform all-dense models): walks layers in
     order, keeps the dense model's hidden at the current layer's input
     cached on device, and scores each leaf's whole ratio grid with the
@@ -430,6 +467,32 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
     from asvd4llm_tpu.models.scan_forward import (
         slice_stacked_weight, stack_layers, stacked_num_layers,
     )
+
+    # Per-leaf resume (utils/hostguard.py): a recycled/killed process
+    # reloads finished leaves and re-plays only the cheap prefix advances
+    # (one dense layer per row block — ~1% of a leaf's grid cost).
+    resume_state = _load_resume(resume) if resume else {}
+    if resume_state:
+        expected = [linear_name(spec, li, k)
+                    for li in range(len(params["layers"]))
+                    for k in layer_linear_keys(spec)]
+        if include_extras:
+            expected += list(extra_linear_names(params, spec))
+        if all(n in resume_state for n in expected):
+            log.info("sensitivity resume: all %d leaves cached in %s — "
+                     "skipping the scan", len(expected), resume)
+            out = {}
+            for n in expected:
+                r_li, r_dt, ratios = resume_state[n]
+                out[n] = dict(ratios)
+                if timings is not None:
+                    timings.append((n, r_li, r_dt))
+            if free_stacked and stacked is not None:
+                for leaf in jax.tree.leaves(stacked):
+                    leaf.delete()
+            return out
+        log.info("sensitivity resume: %d leaves cached in %s",
+                 len(resume_state), resume)
 
     if stacked is None:
         stacked = stack_layers(params, spec)
@@ -471,6 +534,17 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
         for k in layer_linear_keys(spec):
             t_name = time.time()
             name = linear_name(spec, li, k)
+            # split BEFORE the resume check so the RNG stream (and thus
+            # the randomized-SVD draws) is identical whether a leaf is
+            # recomputed or replayed from the resume file
+            key, sub = jax.random.split(key)
+            if name in resume_state:
+                _rli, r_dt, ratios = resume_state[name]
+                sensitivity[name] = dict(ratios)
+                n_pts += len(ratios)
+                if timings is not None:
+                    timings.append((name, li, r_dt))
+                continue
             # candidate weight sliced from the stack: no host re-upload,
             # and no dependence on per-layer device leaves
             leaf = {"w": slice_stacked_weight(stacked, k, li), "b": None}
@@ -478,7 +552,6 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                 None if stats is None else stats.get(name),
                 None if fisher is None else fisher.get(name), cfg.alpha)
             sensitivity[name] = {}
-            key, sub = jax.random.split(key)
             valid, ppls, finite = _grid_eval_streamed(
                 leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
                 lambda wh: _blocks_ppl(n, (
@@ -487,16 +560,22 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                     for h, lab, m in zip(h_blocks, l_blocks, m_blocks))))
             for ratio in set(grid) - set(valid):
                 sensitivity[name][ratio] = float("inf")
-            if not valid:
-                continue
             for j, (ratio, ppl) in enumerate(zip(valid, ppls)):
                 sensitivity[name][ratio] = float(ppl) if finite[j] \
                     else float("inf")
                 n_pts += 1
+            dt = time.time() - t_name
             if timings is not None:
-                timings.append((name, li, time.time() - t_name))
+                timings.append((name, li, dt))
             log.info("sensitivity %s done (%d pts, %.1fs elapsed)",
                      name, n_pts, time.time() - t0)
+            if resume:
+                _append_resume(resume, name, li, dt, sensitivity[name])
+            if max_rss_gb is not None:
+                # raises HostBudgetExceeded — state just persisted, the
+                # supervisor restarts and resumes from the next leaf
+                from asvd4llm_tpu.utils.hostguard import check
+                check(max_rss_gb, name)
         # advance the cached prefix past this (dense) layer
         h_blocks = [_advance_block(hp, stacked, spec, h, jnp.int32(li))
                     for h in h_blocks]
@@ -520,12 +599,19 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
     if include_extras:
         for name in extra_linear_names(params, spec):
             t_name = time.time()
+            key, sub = jax.random.split(key)
+            if name in resume_state:
+                _rli, r_dt, ratios = resume_state[name]
+                sensitivity[name] = dict(ratios)
+                n_pts += len(ratios)
+                if timings is not None:
+                    timings.append((name, -1, r_dt))
+                continue
             leaf = get_linear(params, spec, name)
             scale = build_scaling_vector(
                 None if stats is None else stats.get(name),
                 None if fisher is None else fisher.get(name), cfg.alpha)
             sensitivity[name] = {}
-            key, sub = jax.random.split(key)
             if name == LM_HEAD_NAME:
                 valid, ppls, finite = _grid_eval_streamed(
                     leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
@@ -535,9 +621,8 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                                              m_blocks))))
                 for ratio in set(grid) - set(valid):
                     sensitivity[name][ratio] = float("inf")
-                if not valid:
-                    continue
-                for j, (ratio, ppl) in enumerate(zip(valid, ppls)):
+                for j, (ratio, ppl) in enumerate(
+                        zip(valid, ppls if valid else [])):
                     sensitivity[name][ratio] = float(ppl) if finite[j] \
                         else float("inf")
                     n_pts += 1
@@ -555,10 +640,16 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                     sensitivity[name][ratio] = evaluate_perplexity(
                         trial, spec, input_ids, cfg.n_calib_samples)
                     n_pts += 1
+            dt = time.time() - t_name
             if timings is not None:
-                timings.append((name, -1, time.time() - t_name))
+                timings.append((name, -1, dt))
             log.info("sensitivity %s done (%d pts, %.1fs elapsed)",
                      name, n_pts, time.time() - t0)
+            if resume:
+                _append_resume(resume, name, -1, dt, sensitivity[name])
+            if max_rss_gb is not None:
+                from asvd4llm_tpu.utils.hostguard import check
+                check(max_rss_gb, name)
     return sensitivity
 
 
@@ -566,7 +657,8 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
                           fisher=None, cache=None,
                           batch_ratios: bool | None = None,
                           mesh=None, timings=None, stacked=None,
-                          free_stacked=False) -> dict:
+                          free_stacked=False, resume=None,
+                          max_rss_gb=None) -> dict:
     """{full_name: {ratio: ppl}} via single-layer decompose + calib PPL
     (ref sensitivity.py:10-61). Always act-aware (ref :50).
 
@@ -617,7 +709,8 @@ def calib_sensitivity_ppl(params, spec, calib_loader, cfg, *, stats=None,
         sensitivity = _scan_suffix_sensitivity(
             params, spec, input_ids, grid, cfg, stats=stats, fisher=fisher,
             mesh=mesh, include_extras=include_extras, timings=timings,
-            stacked=stacked, free_stacked=free_stacked)
+            stacked=stacked, free_stacked=free_stacked, resume=resume,
+            max_rss_gb=max_rss_gb)
         if cache is not None:
             cache.save_json("sensitivity", cfg.sensitivity_key(), sensitivity)
         return sensitivity

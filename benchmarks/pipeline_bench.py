@@ -101,7 +101,20 @@ def main(argv=None):
     ap.add_argument("--inter", type=int, default=11008)
     ap.add_argument("--vocab", type=int, default=32000)
     ap.add_argument("--heads", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the axon "
+                    "sitecustomize makes bare JAX_PLATFORMS=cpu unsafe)")
+    # Process-recycling resume (utils/hostguard.py): the axon tunnel leaks
+    # host RSS proportional to lifetime device-buffer traffic, so the
+    # canonical full-depth run must recycle its process. --resume names a
+    # per-leaf jsonl (+ .params.pkl / .stats.npz / .phases.json sidecars);
+    # --max_rss_gb makes the scan exit rc=42 at the budget for
+    # run_canonical_r5.sh to relaunch.
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--max_rss_gb", type=float, default=None)
     ns = ap.parse_args(argv)
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import logging
     logging.basicConfig(
         level=logging.INFO,
@@ -123,18 +136,33 @@ def main(argv=None):
                       num_kv_heads=ns.heads, head_dim=H // ns.heads,
                       max_position_embeddings=seqlen + 64)
     from asvd4llm_tpu.models import hostmem
+    params_pkl = (ns.resume + ".params.pkl") if ns.resume else None
     if ns.host_master:
         # init per-layer weights straight on host: at 32 layers the model
         # + init transients would not fit in HBM, and host is where the
-        # masters live anyway (models/hostmem.py)
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = init_params(spec, jax.random.PRNGKey(0),
+        # masters live anyway (models/hostmem.py). With --resume the host
+        # pytree is pickled once and reloaded on recycle (disk read beats
+        # re-running the XLA:CPU init programs on this 1-CPU VM).
+        import pickle
+        if params_pkl and os.path.exists(params_pkl):
+            t0 = time.time()
+            with open(params_pkl, "rb") as f:
+                host_tree = pickle.load(f)
+            print(f"resume: params loaded from {params_pkl} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+        else:
+            with jax.default_device(jax.devices("cpu")[0]):
+                p0 = init_params(spec, jax.random.PRNGKey(0),
                                  dtype=jnp.bfloat16)
-        host_layers = jax.tree.map(np.asarray, params["layers"])
+            host_tree = jax.tree.map(np.asarray, p0)
+            del p0
+            if params_pkl:
+                with open(params_pkl, "wb") as f:
+                    pickle.dump(host_tree, f, protocol=4)
         rest = jax.tree.map(jax.device_put,
-                            {k: v for k, v in params.items()
+                            {k: v for k, v in host_tree.items()
                              if k != "layers"})
-        params = {**rest, "layers": host_layers}
+        params = {**rest, "layers": host_tree["layers"]}
     else:
         params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
@@ -145,6 +173,25 @@ def main(argv=None):
                      scaling_method="abs_mean", n_calib_samples=n_calib,
                      seqlen=seqlen, svd_backend="auto",
                      eval_dtype="bfloat16", use_cache=False)
+
+    # cross-attempt accounting: accumulated per-phase seconds + wall clock
+    # since the FIRST attempt, persisted so the final artifact reports the
+    # true end-to-end cost across process recycles
+    sidecar = (ns.resume + ".phases.json") if ns.resume else None
+    acc = {"first_launch": time.time(), "attempts": 0}
+    if sidecar and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            acc = json.load(f)
+    acc["attempts"] = acc.get("attempts", 0) + 1
+
+    def _acc_phase(k, dt):
+        if sidecar is None:
+            return
+        if dt:
+            acc[k] = round(acc.get(k, 0.0) + dt, 1)
+        with open(sidecar, "w") as f:
+            json.dump(acc, f)
+    _acc_phase("", 0.0)  # persist the attempt count
 
     cold = None
     # bind EVERYTHING emit() reads before the SIGINT handler is installed:
@@ -191,6 +238,18 @@ def main(argv=None):
             },
             "cold_run_s": cold,
             "run_kind": run_kind,
+            "resume": (None if sidecar is None else {
+                "attempts": acc.get("attempts"),
+                "accumulated_s": {k: v for k, v in acc.items()
+                                  if k.endswith("_s")},
+                "wall_s_since_first_launch": round(
+                    time.time() - acc["first_launch"], 1),
+                "note": ("host-RSS process recycling (utils/hostguard.py): "
+                         "the axon tunnel retains host memory per device "
+                         "buffer; attempts resume from the per-leaf jsonl. "
+                         "accumulated_s sums phase time across attempts; "
+                         "per_name_scan_s is complete across attempts."),
+            }),
             "eval_budget_vs_canonical": round(
                 n_calib * seqlen / (REF_CALIB * REF_SEQLEN), 3),
             "note": (f"PPL-eval budget is n_calib*seqlen; the reference's "
@@ -225,7 +284,12 @@ def main(argv=None):
 
     signal.signal(signal.SIGINT, _on_int)
 
-    for rep in range(max(ns.reps, 1)):
+    from asvd4llm_tpu.utils.hostguard import HostBudgetExceeded
+    from asvd4llm_tpu.utils.hostguard import check as rss_check
+    current_phase = None  # (name, t0) of the phase in flight, for the
+    #                       restart handler's partial accounting
+    try:
+      for rep in range(max(ns.reps, 1)):
         # initialize phase times so an interrupt-time emit() is well-defined
         # even mid-phase; per_name_scan_s carries the per-leaf evidence
         t_stats = t_scan = t_search = t_eval = 0.0
@@ -240,23 +304,51 @@ def main(argv=None):
             stacked = stack_layers(params, spec)
             jax.block_until_ready(stacked)
             t_stack = time.time() - t0
+            _acc_phase("stack_s", t_stack)
 
+        stats_npz = (ns.resume + ".stats.npz") if ns.resume else None
         t0 = time.time()
-        stats = calib_input_distribution(params, spec, loader,
-                                         cfg.scaling_method, stacked=stacked)
-        jax.block_until_ready(list(stats.values()))
+        if stats_npz and os.path.exists(stats_npz):
+            loaded = np.load(stats_npz)
+            stats = {k: jnp.asarray(loaded[k]) for k in loaded.files}
+            print(f"resume: calib stats loaded from {stats_npz}", flush=True)
+        else:
+            current_phase = ("stats", t0)
+            stats = calib_input_distribution(params, spec, loader,
+                                             cfg.scaling_method,
+                                             stacked=stacked)
+            jax.block_until_ready(list(stats.values()))
+            if stats_npz:
+                np.savez(stats_npz,
+                         **{k: np.asarray(v) for k, v in stats.items()})
         t_stats = time.time() - t0
+        current_phase = None
+        _acc_phase("stats_s", t_stats)
+        if ns.max_rss_gb:
+            rss_check(ns.max_rss_gb, "calib_stats")
 
         timings = []
         t0 = time.time()
+        current_phase = ("scan", t0)
         sens = calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats,
                                      timings=timings, stacked=stacked,
-                                     free_stacked=ns.host_master)
+                                     free_stacked=ns.host_master,
+                                     resume=ns.resume,
+                                     max_rss_gb=ns.max_rss_gb)
         t_scan = time.time() - t0
+        current_phase = None
+        _acc_phase("scan_s", t_scan)
         n_points = sum(len(v) for v in sens.values())
         del stacked  # free the scan working set before the decompose grows
+        if ns.max_rss_gb:
+            # the scan may have finished just under budget; the search
+            # phase has no mid-phase resume, so give it a fresh process
+            # (restart is cheap now: params pickle + stats npz + full
+            # per-leaf scan cache)
+            rss_check(ns.max_rss_gb * 0.6, "sensitivity_scan end")
 
         t0 = time.time()
+        current_phase = ("search", t0)
         compressed, manifest = binary_search_truncation_rank(
             params, spec, sens, loader, cfg, stats=stats)
         if ns.host_master:
@@ -264,15 +356,20 @@ def main(argv=None):
             compressed = device_put_dense_leaves(compressed)
         jax.block_until_ready(compressed["layers"][0])
         t_search = time.time() - t0
+        current_phase = None
+        _acc_phase("search_s", t_search)
 
         t_eval = 0.0
         if ns.eval_tokens > 0:
             from asvd4llm_tpu.eval.ppl import evaluate_ppl_windowed
             toks = rng.randint(0, VOCAB, size=(ns.eval_tokens,))
             t0 = time.time()
+            current_phase = ("eval", t0)
             eval_ppl = evaluate_ppl_windowed(compressed, spec, toks,
                                              seqlen=seqlen)
             t_eval = time.time() - t0
+            current_phase = None
+            _acc_phase("eval_s", t_eval)
         del compressed
         print(json.dumps({"rep": rep, "stack_s": round(t_stack, 1),
                           "stats_s": round(t_stats, 1),
@@ -290,6 +387,19 @@ def main(argv=None):
             emit(f"cold (rep {rep + 1} of {ns.reps} IN PROGRESS; "
                  "measured_s is the cold rep — compiles + per-process "
                  "program loads included)")
+    except HostBudgetExceeded as e:
+        # resumable state is already on disk (per-leaf jsonl + sidecars);
+        # account the in-flight phase's partial time, land a partial
+        # artifact, and hand control to the supervisor (rc=42 = relaunch)
+        if current_phase is not None:
+            _acc_phase(current_phase[0] + "_s", time.time()
+                       - current_phase[1])
+        print(f"pipeline_bench: {e} — exiting rc=42 for the supervisor "
+              "to relaunch with --resume", flush=True)
+        emit("RESTART (host RSS budget reached; per-leaf resume state "
+             "persisted — this artifact is partial, a resumed attempt "
+             "overwrites it)")
+        sys.exit(42)
 
     emit("steady-state (rep 2 of an in-process double run; rep 1 paid "
          "compiles + program loads)" if ns.reps > 1 else "single run")

@@ -1,0 +1,47 @@
+#!/bin/bash
+# Canonical 32-layer x (32x2048) n=32 full-depth pipeline run with
+# host-RSS process recycling (round 5, VERDICT #1).
+#
+# Why a supervisor: the axon PJRT tunnel retains host memory proportional
+# to a process's lifetime device-buffer traffic (~1.8 GB per scanned leaf;
+# the 07:14 UTC run was OOM-killed by the HOST kernel at 131 GB after 64
+# of 225 leaves). utils/hostguard.py makes the scan exit rc=42 at
+# --max_rss_gb after persisting per-leaf state; this loop relaunches until
+# the pipeline completes. Never SIGKILL the python process (axon claim
+# wedge) — DEADLINE_UTC (HH:MM, today) bounds each attempt with SIGINT so
+# a partial artifact still lands.
+set -u
+cd "$(dirname "$0")/.."
+RES=benchmarks/results/canonical_r5_resume.jsonl
+LOG=benchmarks/results/pipeline_full_r5c.log
+OUT=benchmarks/results/pipeline_bench_r5_full.json
+DEADLINE="${DEADLINE_UTC:-}"
+MAXRSS="${MAX_RSS_GB:-82}"
+
+for i in $(seq 1 60); do
+  echo "supervisor: attempt $i starting $(date -u)" >> "$LOG"
+  args=(benchmarks/pipeline_bench.py --layers 32 --n_calib 32 --seqlen 2048
+        --host_master --eval_tokens 65536 --reps 1
+        --resume "$RES" --max_rss_gb "$MAXRSS" --json "$OUT")
+  if [ -n "$DEADLINE" ]; then
+    now=$(date -u +%s)
+    end=$(date -u -d "today $DEADLINE" +%s)
+    rem=$(( end - now ))
+    if [ "$rem" -le 180 ]; then
+      echo "supervisor: deadline $DEADLINE reached, stopping" >> "$LOG"
+      exit 3
+    fi
+    timeout -s INT -k 120 "$rem" python "${args[@]}" >> "$LOG" 2>&1
+  else
+    python "${args[@]}" >> "$LOG" 2>&1
+  fi
+  rc=$?
+  echo "supervisor: attempt $i exited rc=$rc $(date -u)" >> "$LOG"
+  if [ "$rc" -eq 42 ]; then
+    sleep 5
+    continue
+  fi
+  exit $rc
+done
+echo "supervisor: attempt cap reached" >> "$LOG"
+exit 4

@@ -1,0 +1,113 @@
+"""Per-leaf resume + host-RSS recycling of the sensitivity scan.
+
+Round-5 incident: the canonical full-depth 7B scan leaked ~1.8 GB host RSS
+per leaf through the TPU tunnel and was OOM-killed by the HOST kernel after
+64 of 225 leaves (utils/hostguard.py docstring). The fix is per-leaf
+persistence (calib/sensitivity._append_resume) + process recycling
+(hostguard.check → HostBudgetExceeded → supervisor relaunch). These tests
+pin the contract: a resumed scan must produce bit-identical results to an
+uninterrupted one, at every truncation point.
+"""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from asvd4llm_tpu.calib.sensitivity import calib_sensitivity_ppl
+from asvd4llm_tpu.calib.stats import calib_input_distribution
+from asvd4llm_tpu.config import ASVDConfig
+from asvd4llm_tpu.models.init import init_params
+from asvd4llm_tpu.models.spec import llama_spec
+from asvd4llm_tpu.utils import hostguard
+
+
+def _tiny_setup():
+    spec = llama_spec(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=4, num_kv_heads=4, head_dim=8,
+                      max_position_embeddings=96)
+    params = init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    loader = [{"input_ids": rng.randint(0, 128, size=(1, 32))}
+              for _ in range(2)]
+    cfg = ASVDConfig(model_id="t", calib_dataset="synthetic",
+                     param_ratio_target=0.9, act_aware=True, alpha=0.5,
+                     scaling_method="abs_mean", n_calib_samples=2, seqlen=32,
+                     svd_backend="exact", use_cache=False)
+    stats = calib_input_distribution(params, spec, loader,
+                                     cfg.scaling_method)
+    return params, spec, loader, cfg, stats
+
+
+def _run(params, spec, loader, cfg, stats, resume=None):
+    return calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats,
+                                 resume=resume)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    params, spec, loader, cfg, stats = _tiny_setup()
+    base = _run(params, spec, loader, cfg, stats)
+
+    # full scan with persistence
+    res = str(tmp_path / "resume.jsonl")
+    full = _run(params, spec, loader, cfg, stats, resume=res)
+    assert full == base
+
+    lines = open(res).read().strip().splitlines()
+    assert len(lines) == len(base)  # one record per leaf incl. lm_head
+
+    # resume from EVERY truncation point (simulating a kill after leaf k):
+    # results must be identical — including the RNG-stream alignment for
+    # the leaves that are recomputed after the cached prefix
+    for k in (1, len(lines) // 2, len(lines) - 1):
+        part = str(tmp_path / f"resume_{k}.jsonl")
+        with open(part, "w") as f:
+            f.write("\n".join(lines[:k]) + "\n")
+        out = _run(params, spec, loader, cfg, stats, resume=part)
+        assert out == base, f"resume after {k} leaves diverged"
+
+    # full-cover early return (all leaves cached): identical again
+    out = _run(params, spec, loader, cfg, stats, resume=res)
+    assert out == base
+
+
+def test_resume_tolerates_torn_tail(tmp_path):
+    """A process killed mid-write leaves a torn final JSON line — the
+    loader must drop it and the scan recomputes that leaf."""
+    params, spec, loader, cfg, stats = _tiny_setup()
+    base = _run(params, spec, loader, cfg, stats)
+    res = str(tmp_path / "resume.jsonl")
+    _run(params, spec, loader, cfg, stats, resume=res)
+    lines = open(res).read().strip().splitlines()
+    torn = str(tmp_path / "torn.jsonl")
+    with open(torn, "w") as f:
+        f.write("\n".join(lines[:3]) + "\n" + lines[4][: len(lines[4]) // 2])
+    out = _run(params, spec, loader, cfg, stats, resume=torn)
+    assert out == base
+
+
+def test_budget_exceeded_after_persist(tmp_path):
+    """hostguard raises only AFTER the finished leaf is on disk, so a
+    recycle loses no work: the resume file must already contain every
+    leaf completed before the raise."""
+    params, spec, loader, cfg, stats = _tiny_setup()
+    res = str(tmp_path / "resume.jsonl")
+    with pytest.raises(hostguard.HostBudgetExceeded):
+        calib_sensitivity_ppl(params, spec, loader, cfg, stats=stats,
+                              resume=res, max_rss_gb=0.001)
+    recs = [json.loads(x) for x in open(res).read().strip().splitlines()]
+    assert len(recs) == 1  # first leaf persisted, then the budget fired
+    assert set(recs[0]) == {"name", "li", "dt", "ratios"}
+
+    # and the relaunch completes + matches an uninterrupted run
+    base = _run(params, spec, loader, cfg, stats)
+    out = _run(params, spec, loader, cfg, stats, resume=res)
+    assert out == base
+
+
+def test_hostguard_trim_and_rss():
+    r = hostguard.check(None, "test")  # no budget: never raises
+    assert r > 0.01  # a live python process has measurable RSS
+    with pytest.raises(hostguard.HostBudgetExceeded):
+        hostguard.check(0.001, "test")
