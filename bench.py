@@ -297,6 +297,12 @@ def _artifact_summary():
             "cold_run_s": d.get("cold_run_s"),
             "eval_budget_vs_canonical": d.get("eval_budget_vs_canonical"),
             "run_kind": d.get("run_kind"),
+            "scan_points": d.get("scan_points"),
+            "eval_ppl_synthetic": d.get("eval_ppl_synthetic"),
+            # cross-attempt accounting when the run used host-RSS process
+            # recycling (utils/hostguard.py): accumulated_s is the true
+            # end-to-end phase cost summed over attempts
+            "resume": d.get("resume"),
         }
         if d["geometry"]["layers"] < 32:
             out["pipeline_7b_dims"]["projected_full_7b_s"] = \
