@@ -66,8 +66,20 @@ def naive_compressed_params(numels: dict, ratios: dict) -> tuple:
 
 def binary_search_truncation_rank(params, spec, sensitivity_dict,
                                   calib_loader, cfg, *, stats=None,
-                                  fisher=None):
-    """Returns (compressed_params, manifest {name: rank})."""
+                                  fisher=None, resume_dir=None,
+                                  max_rss_gb=None):
+    """Returns (compressed_params, manifest {name: rank}).
+
+    resume_dir/max_rss_gb: per-leaf factor checkpointing for the final
+    decompose pass (the search loop itself is host-only arithmetic in
+    ratio-target mode). Long on-chip runs leak host RSS per device buffer
+    through the TPU tunnel (utils/hostguard.py); each decomposed leaf's
+    factors are persisted to resume_dir and the pass raises
+    HostBudgetExceeded at the budget so a relaunch reloads finished
+    leaves from disk instead of re-running their SVDs. Deterministic
+    across restarts: ratio-mode search is pure host arithmetic over the
+    (cached) sensitivity dict, and the per-leaf RNG stream is split
+    whether a leaf is loaded or recomputed."""
     if cfg.compress_kv_cache:
         ratio_target = cfg.kv_cache_ratio_target
         sensitivity_dict = {k: v for k, v in sensitivity_dict.items()
@@ -259,10 +271,32 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
     t0 = time.time()
     manifest: dict = {}
     out = params
+    if resume_dir is not None:
+        import os
+        os.makedirs(resume_dir, exist_ok=True)
+    n_loaded = 0
     for name, r in ratios.items():
         if r == default_param_ratio:
             continue
         key, sub = jax.random.split(key)
+        if resume_dir is not None:
+            import os
+            ck = os.path.join(resume_dir, name + ".npz")
+            if os.path.exists(ck):
+                try:
+                    z = np.load(ck)
+                    f_a = jnp.asarray(z["a"])
+                    f_b = jnp.asarray(z["b"])
+                    bias = jnp.asarray(z["bias"]) if "bias" in z.files \
+                        else None
+                    out = set_linear(out, spec, name,
+                                     lowrank_leaf(f_a, f_b, bias))
+                    manifest[name] = int(z["rank"])
+                    n_loaded += 1
+                    continue
+                except Exception as e:  # torn file from a kill: recompute
+                    log.warning("decompose resume: unreadable %s (%s) — "
+                                "recomputing", ck, e)
         f = _factors_from_cache(name, r, sub)
         # the final pass is the last consumer of this name's max-rank SVD;
         # evicting bounds peak HBM to ONE cached factorization instead of
@@ -274,6 +308,19 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
             continue
         out = set_linear(out, spec, name, lowrank_leaf(f.A, f.B, f.bias))
         manifest[name] = f.rank
+        if resume_dir is not None:
+            import os
+            ck = os.path.join(resume_dir, name + ".npz")
+            arrs = {"a": np.asarray(f.A), "b": np.asarray(f.B),
+                    "rank": np.int64(f.rank)}
+            if f.bias is not None:
+                arrs["bias"] = np.asarray(f.bias)
+            tmp = ck + ".tmp.npz"  # np.savez appends .npz to bare names
+            np.savez(tmp, **arrs)
+            os.replace(tmp, ck)  # atomic: a kill never leaves a torn .npz
+            if max_rss_gb is not None:
+                from asvd4llm_tpu.utils.hostguard import check
+                check(max_rss_gb, f"decompose {name}")
         o, i = shapes[name]
         if cfg.compress_kv_cache and f.rank >= min(o, i):
             log.warning("%s: rank_align=%d rounded rank to the full "
@@ -286,5 +333,6 @@ def binary_search_truncation_rank(params, spec, sensitivity_dict,
             log.warning("%s: realized rank %d != reference formula %d "
                         "(ratio %s) — manifest deviates from reference "
                         "accounting", name, f.rank, expect, r)
-    log.info("decompose time: %.2fs (%d layers)", time.time() - t0, len(manifest))
+    log.info("decompose time: %.2fs (%d layers, %d from resume checkpoints)",
+             time.time() - t0, len(manifest), n_loaded)
     return out, manifest

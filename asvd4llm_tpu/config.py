@@ -91,6 +91,16 @@ class ASVDConfig:
     sensitivity_batch_ratios: bool = True
     # mesh: data-parallel x tensor-parallel device grid; (1, 1) = single chip
     mesh_shape: tuple = (1, 1)
+    # -- host-RSS budget (long on-chip runs through the axon PJRT tunnel
+    # leak host memory per device-buffer allocation, released only at
+    # process teardown — see utils/hostguard.py). scan_resume_path names a
+    # per-leaf resume jsonl for the sensitivity scan; the binary-search
+    # decompose pass checkpoints factors next to it (<path>.factors/).
+    # max_host_rss_gb > 0 makes both phases raise HostBudgetExceeded at
+    # the budget AFTER persisting, so a supervisor can relaunch and resume
+    # (the pattern benchmarks/run_canonical_r5.sh uses).
+    scan_resume_path: str = ""
+    max_host_rss_gb: float = -1.0
     # use the fused Pallas low-rank kernel for bf16 decode. Default OFF:
     # measured on v5e (benchmarks/results/kernel_bench_r2.json), XLA's
     # dot-dot is at/near the HBM roofline and beats the hand-fused bf16

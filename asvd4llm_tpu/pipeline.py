@@ -104,6 +104,10 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
                                              cache_key=cfg.calib_key(),
                                              stacked=stacked)
 
+    # host-RSS recycling knobs (utils/hostguard.py): opt-in for long
+    # single-chip runs through the leaky tunnel
+    _resume = cfg.scan_resume_path or None
+    _max_rss = cfg.max_host_rss_gb if cfg.max_host_rss_gb > 0 else None
     with phase("sensitivity"):
         if cfg.sensitivity_metric == "ppl":
             sensitivity = calib_sensitivity_ppl(params, spec, calib_loader,
@@ -111,7 +115,9 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
                                                 fisher=fisher, cache=cache,
                                                 mesh=mesh, stacked=stacked,
                                                 free_stacked=stacked
-                                                is not None)
+                                                is not None,
+                                                resume=_resume,
+                                                max_rss_gb=_max_rss)
         else:
             sensitivity = calib_sensitivity_stable_rank(params, spec,
                                                         calib_loader, cfg,
@@ -123,7 +129,9 @@ def compress(params, spec, tokenizer, cfg: ASVDConfig, *,
     with phase("binary_search"):
         compressed, manifest = binary_search_truncation_rank(
             params, spec, sensitivity, calib_loader, cfg,
-            stats=stats, fisher=fisher)
+            stats=stats, fisher=fisher,
+            resume_dir=(_resume + ".factors") if _resume else None,
+            max_rss_gb=_max_rss)
 
     if hostmem.is_host_layers(compressed):
         # dense-kept layers re-upload ONCE; the eval phase must not pay a

@@ -298,15 +298,19 @@ def main(argv=None):
         timings = []
         stacked = None
         t_stack = 0.0
-        if ns.host_master:
+        stats_npz = (ns.resume + ".stats.npz") if ns.resume else None
+        if ns.host_master and not (stats_npz and os.path.exists(stats_npz)):
+            # resumed attempts skip the eager 13.5 GB stack upload: stats
+            # come from the npz and the scan stacks lazily only if it has
+            # uncached leaves (a fully-cached scan never stacks at all —
+            # that matters because the tunnel's host retention charges
+            # every device-buffer allocation to the process for life)
             from asvd4llm_tpu.models.scan_forward import stack_layers
             t0 = time.time()
             stacked = stack_layers(params, spec)
             jax.block_until_ready(stacked)
             t_stack = time.time() - t0
             _acc_phase("stack_s", t_stack)
-
-        stats_npz = (ns.resume + ".stats.npz") if ns.resume else None
         t0 = time.time()
         if stats_npz and os.path.exists(stats_npz):
             loaded = np.load(stats_npz)
@@ -350,7 +354,9 @@ def main(argv=None):
         t0 = time.time()
         current_phase = ("search", t0)
         compressed, manifest = binary_search_truncation_rank(
-            params, spec, sens, loader, cfg, stats=stats)
+            params, spec, sens, loader, cfg, stats=stats,
+            resume_dir=(ns.resume + ".factors") if ns.resume else None,
+            max_rss_gb=ns.max_rss_gb)
         if ns.host_master:
             from asvd4llm_tpu.models.hostmem import device_put_dense_leaves
             compressed = device_put_dense_leaves(compressed)
@@ -358,6 +364,11 @@ def main(argv=None):
         t_search = time.time() - t0
         current_phase = None
         _acc_phase("search_s", t_search)
+        if ns.max_rss_gb:
+            # eval is the last big allocator; give it a fresh process if
+            # the decompose pass ate most of the budget (search resumes
+            # from its per-leaf factor checkpoints)
+            rss_check(ns.max_rss_gb * 0.6, "binary_search end")
 
         t_eval = 0.0
         if ns.eval_tokens > 0:

@@ -111,3 +111,44 @@ def test_hostguard_trim_and_rss():
     assert r > 0.01  # a live python process has measurable RSS
     with pytest.raises(hostguard.HostBudgetExceeded):
         hostguard.check(0.001, "test")
+
+
+def test_decompose_checkpoint_resume(tmp_path):
+    """Final-pass factor checkpointing (calib/search.py resume_dir): a
+    second run must load every leaf from disk and produce an identical
+    compressed model + manifest; a budget raise mid-pass must leave only
+    complete .npz checkpoints behind."""
+    from asvd4llm_tpu.calib.search import binary_search_truncation_rank
+
+    params, spec, loader, cfg, stats = _tiny_setup()
+    sens = _run(params, spec, loader, cfg, stats)
+
+    base_p, base_m = binary_search_truncation_rank(
+        params, spec, sens, loader, cfg, stats=stats)
+
+    d = str(tmp_path / "factors")
+    p1, m1 = binary_search_truncation_rank(
+        params, spec, sens, loader, cfg, stats=stats, resume_dir=d)
+    assert m1 == base_m
+    import os
+    assert len(os.listdir(d)) == len(m1)
+    assert not any(f.endswith(".tmp.npz") for f in os.listdir(d))
+
+    # budget raise mid-pass: exactly the persisted leaves survive
+    d2 = str(tmp_path / "factors2")
+    with pytest.raises(hostguard.HostBudgetExceeded):
+        binary_search_truncation_rank(params, spec, sens, loader, cfg,
+                                      stats=stats, resume_dir=d2,
+                                      max_rss_gb=0.001)
+    assert len(os.listdir(d2)) == 1
+
+    # resumed run: loads the checkpoint, recomputes the rest, matches
+    p2, m2 = binary_search_truncation_rank(
+        params, spec, sens, loader, cfg, stats=stats, resume_dir=d2)
+    assert m2 == base_m
+    for (la, lb) in ((p1, base_p), (p2, base_p)):
+        fa = jax.tree.leaves(la)
+        fb = jax.tree.leaves(lb)
+        assert len(fa) == len(fb)
+        for x, y in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
