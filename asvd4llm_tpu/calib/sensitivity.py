@@ -313,11 +313,17 @@ def _load_resume(path):
     ``{"name", "li", "dt", "ratios": {str(ratio): ppl}}``. Written after
     every leaf so a killed/recycled process (utils/hostguard.py: the axon
     tunnel's per-buffer host retention forces periodic recycling) loses at
-    most the leaf in flight. Returns {name: (li, dt, {float: float})}."""
+    most the leaf in flight.
+
+    Lines with ``"oom": N`` and no ``"ratios"`` are device-OOM markers
+    (see ``_grid_eval_oom_safe``): the leaf OOMed HBM N times; a resumed
+    attempt forces the low-workspace gram backend for it.
+
+    Returns ``({name: (li, dt, {float: float})}, {name: oom_count})``."""
     import json
     import os
 
-    state = {}
+    state, oom_counts = {}, {}
     if path and os.path.exists(path):
         with open(path) as f:
             for line in f:
@@ -328,10 +334,15 @@ def _load_resume(path):
                     rec = json.loads(line)
                 except ValueError:
                     continue  # torn final line from a killed process
+                if "ratios" not in rec:
+                    if "oom" in rec:
+                        oom_counts[rec["name"]] = max(
+                            int(rec["oom"]), oom_counts.get(rec["name"], 0))
+                    continue
                 state[rec["name"]] = (
                     rec.get("li", -1), rec.get("dt", 0.0),
                     {float(r): float(p) for r, p in rec["ratios"].items()})
-    return state
+    return state, oom_counts
 
 
 def _append_resume(path, name, li, dt, ratios):
@@ -342,6 +353,59 @@ def _append_resume(path, name, li, dt, ratios):
                             "ratios": {str(r): p for r, p in ratios.items()}})
                 + "\n")
         f.flush()
+
+
+def _append_oom(path, name, count):
+    import json
+
+    with open(path, "a") as f:
+        f.write(json.dumps({"name": name, "oom": count}) + "\n")
+        f.flush()
+
+
+def _grid_eval_oom_safe(call, name, resume, oom_counts):
+    """Run a leaf's grid eval with device-OOM recovery.
+
+    Round-5 take-2 of the canonical full-depth run died to a TPU
+    RESOURCE_EXHAUSTED inside the first MLP leaf's SVD — a leaf take-1 had
+    passed with identical code, i.e. HBM-fragmentation flakiness at the
+    ~13.5 GB-resident margin, not a planning bug. Recovery ladder:
+
+    1. leaves previously marked OOM (resume jsonl ``"oom"`` records) run
+       with the low-workspace gram backend forced from the start;
+    2. a fresh OOM is retried once in-process on the gram backend (the
+       failed dispatch's workspace is freed on unwind);
+    3. if the retry also OOMs, persist the marker and raise
+       :class:`~asvd4llm_tpu.utils.hostguard.HostBudgetExceeded` — the
+       rc=42 process-recycle protocol restarts with a clean heap (zero
+       fragmentation: the leaf re-runs right after the stack upload) and
+       the marker forces gram;
+    4. three marked OOMs mean the leaf cannot fit even under the best
+       conditions — re-raise the real error.
+    """
+    forced = "gram" if oom_counts.get(name) else None
+    try:
+        return call(forced)
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        log.warning("device HBM OOM at %s (backend=%s) — retrying "
+                    "in-process on the gram backend", name, forced or "auto")
+        try:
+            return call("gram")
+        except Exception as e2:
+            if "RESOURCE_EXHAUSTED" not in str(e2):
+                raise
+            n_oom = oom_counts.get(name, 0) + 1
+            oom_counts[name] = n_oom
+            if resume:
+                _append_oom(resume, name, n_oom)
+            if n_oom >= 3:
+                raise
+            from asvd4llm_tpu.utils.hostguard import HostBudgetExceeded
+            raise HostBudgetExceeded(
+                f"device HBM OOM at {name} (gram retry; marked {n_oom}x) — "
+                "recycling the process for an unfragmented heap") from e2
 
 
 def _resolve_backend(cfg, out_f, in_f, max_rank):
@@ -402,7 +466,7 @@ def _grid_chunk_bytes(C, cand_bytes, resident_bytes, mesh):
 
 
 def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
-                        eval_fn):
+                        eval_fn, force_backend=None):
     """Evaluate a leaf's whole ratio grid, streaming dense candidate
     recompositions through HBM in residency-sized chunks.
 
@@ -410,7 +474,10 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
     dp). Otherwise the SVD factors stay resident ((out+in)·max_rank f32)
     and each chunk recomposes, evaluates, and frees — the per-chunk
     np.asarray fetch is the synchronization that bounds live chunks to
-    one. Returns (valid_ratios, ppls, finite) as numpy."""
+    one. ``force_backend`` overrides the auto SVD-backend resolution
+    (the device-OOM recovery ladder forces "gram", see
+    ``_grid_eval_oom_safe``). Returns (valid_ratios, ppls, finite) as
+    numpy."""
     out_f, in_f = leaf_shape(leaf)
     ranks = {r: min(rank_for_param_ratio(in_f, out_f, r, cfg.rank_align),
                     in_f, out_f) for r in grid}
@@ -421,7 +488,10 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
         valid, w_hats, finite = _prep_grid_candidates(
             leaf, grid, cfg, scale, sub, mesh)
         return valid, np.asarray(eval_fn(w_hats)), np.asarray(finite)
-    backend = _resolve_backend(cfg, out_f, in_f, max(ranks.values()))
+    backend = force_backend or _resolve_backend(cfg, out_f, in_f,
+                                                max(ranks.values()))
+    log.info("grid eval [%d, %d]: backend=%s resident=%.2f GB",
+             out_f, in_f, backend, resident_bytes / 2.0 ** 30)
     scale_vec = scale if scale is not None else jnp.ones((in_f,),
                                                          jnp.float32)
     ranks_tuple = tuple(ranks[r] for r in valid)
@@ -471,7 +541,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
     # Per-leaf resume (utils/hostguard.py): a recycled/killed process
     # reloads finished leaves and re-plays only the cheap prefix advances
     # (one dense layer per row block — ~1% of a leaf's grid cost).
-    resume_state = _load_resume(resume) if resume else {}
+    resume_state, oom_counts = _load_resume(resume) if resume else ({}, {})
     if resume_state:
         expected = [linear_name(spec, li, k)
                     for li in range(len(params["layers"]))
@@ -552,12 +622,15 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                 None if stats is None else stats.get(name),
                 None if fisher is None else fisher.get(name), cfg.alpha)
             sensitivity[name] = {}
-            valid, ppls, finite = _grid_eval_streamed(
-                leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
-                lambda wh: _blocks_ppl(n, (
-                    _ppl_multi_ratio_suffix(hp, stacked, spec, h, lab, m,
-                                            k, jnp.int32(li), wh)
-                    for h, lab, m in zip(h_blocks, l_blocks, m_blocks))))
+            valid, ppls, finite = _grid_eval_oom_safe(
+                lambda fb: _grid_eval_streamed(
+                    leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
+                    force_backend=fb,
+                    eval_fn=lambda wh: _blocks_ppl(n, (
+                        _ppl_multi_ratio_suffix(hp, stacked, spec, h, lab, m,
+                                                k, jnp.int32(li), wh)
+                        for h, lab, m in zip(h_blocks, l_blocks, m_blocks)))),
+                name, resume, oom_counts)
             for ratio in set(grid) - set(valid):
                 sensitivity[name][ratio] = float("inf")
             for j, (ratio, ppl) in enumerate(zip(valid, ppls)):
@@ -613,12 +686,16 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                 None if fisher is None else fisher.get(name), cfg.alpha)
             sensitivity[name] = {}
             if name == LM_HEAD_NAME:
-                valid, ppls, finite = _grid_eval_streamed(
-                    leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
-                    lambda wh: _blocks_ppl(n, (
-                        _ppl_head_grid(hp, spec, h, lab, m, wh, leaf["b"])
-                        for h, lab, m in zip(h_blocks, l_blocks,
-                                             m_blocks))))
+                valid, ppls, finite = _grid_eval_oom_safe(
+                    lambda fb: _grid_eval_streamed(
+                        leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
+                        force_backend=fb,
+                        eval_fn=lambda wh: _blocks_ppl(n, (
+                            _ppl_head_grid(hp, spec, h, lab, m, wh,
+                                           leaf["b"])
+                            for h, lab, m in zip(h_blocks, l_blocks,
+                                                 m_blocks)))),
+                    name, resume, oom_counts)
                 for ratio in set(grid) - set(valid):
                     sensitivity[name][ratio] = float("inf")
                 for j, (ratio, ppl) in enumerate(

@@ -30,6 +30,8 @@ def analyze(path: str) -> dict:
             r = json.loads(line)
         except ValueError:
             continue
+        if "ratios" not in r:
+            continue  # device-OOM marker record (no dt/ratios)
         key = r["name"].split(".")[-1]
         if r.get("li", -1) < 0:
             extras[r["name"]] = r["dt"]

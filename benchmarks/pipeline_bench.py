@@ -78,6 +78,43 @@ def project_scan(timings, layers_measured: int, layers_full: int) -> dict:
             "projected_scan_s": round(float(full) + extras, 1)}
 
 
+def _resume_record_counts(resume_path):
+    """Classify the per-leaf resume jsonl for the artifact: measured vs
+    SEEDED leaves (ppl placeholders whose dt came from an earlier measured
+    run of the same config on the same chip — see the record's own
+    "dt_source"), plus device-OOM markers. Loud in the artifact so the
+    provenance of every per_name_scan_s row is checkable."""
+    import os
+    counts = {"leaves_measured_this_run_chain": 0, "leaves_seeded": 0,
+              "device_oom_markers": 0}
+    seed_note = None
+    if resume_path and os.path.exists(resume_path):
+        with open(resume_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if "ratios" not in rec:
+                    counts["device_oom_markers"] += rec.get("oom", 0) and 1
+                    continue
+                if rec.get("seeded"):
+                    counts["leaves_seeded"] += 1
+                    seed_note = rec.get("dt_source")
+                else:
+                    counts["leaves_measured_this_run_chain"] += 1
+    if counts["leaves_seeded"]:
+        counts["seeded_note"] = (
+            "seeded leaves carry REAL per-leaf wall times measured by an "
+            f"earlier run of this exact config on this chip ({seed_note}); "
+            "only their ppl values are placeholders (random-weight ppl "
+            "carries no information — this benchmark's product is time)")
+    return counts
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
@@ -144,21 +181,30 @@ def main(argv=None):
         # pytree is pickled once and reloaded on recycle (disk read beats
         # re-running the XLA:CPU init programs on this 1-CPU VM).
         import pickle
+        host_tree = None
         if params_pkl and os.path.exists(params_pkl):
             t0 = time.time()
-            with open(params_pkl, "rb") as f:
-                host_tree = pickle.load(f)
-            print(f"resume: params loaded from {params_pkl} "
-                  f"({time.time() - t0:.1f}s)", flush=True)
-        else:
+            try:
+                with open(params_pkl, "rb") as f:
+                    host_tree = pickle.load(f)
+                print(f"resume: params loaded from {params_pkl} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
+            except Exception as e:  # torn dump from a killed attempt
+                print(f"resume: params pickle unreadable ({e}) — "
+                      "re-initializing", flush=True)
+        if host_tree is None:
             with jax.default_device(jax.devices("cpu")[0]):
                 p0 = init_params(spec, jax.random.PRNGKey(0),
                                  dtype=jnp.bfloat16)
             host_tree = jax.tree.map(np.asarray, p0)
             del p0
             if params_pkl:
-                with open(params_pkl, "wb") as f:
+                # atomic: bf16 pickling is slow (~minutes at 7B; the
+                # element-wise ml_dtypes dump path) and a kill mid-dump
+                # must not poison the next attempt. Loads are fast.
+                with open(params_pkl + ".tmp", "wb") as f:
                     pickle.dump(host_tree, f, protocol=4)
+                os.replace(params_pkl + ".tmp", params_pkl)
         rest = jax.tree.map(jax.device_put,
                             {k: v for k, v in host_tree.items()
                              if k != "layers"})
@@ -240,6 +286,7 @@ def main(argv=None):
             "run_kind": run_kind,
             "resume": (None if sidecar is None else {
                 "attempts": acc.get("attempts"),
+                **_resume_record_counts(ns.resume),
                 "accumulated_s": {k: v for k, v in acc.items()
                                   if k.endswith("_s")},
                 "wall_s_since_first_launch": round(

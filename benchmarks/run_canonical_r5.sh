@@ -41,6 +41,17 @@ for i in $(seq 1 60); do
     sleep 5
     continue
   fi
+  # rc=1 crashes are retried a bounded number of times: per-leaf resume
+  # state is already on disk, and the 13:15 UTC take-2 crash (device HBM
+  # OOM at a marginal leaf — now converted to rc=42 by the in-scan
+  # recovery ladder) killed a 94-minute attempt that a relaunch would
+  # have resumed in minutes. Anything repeatedly fatal still stops.
+  if [ "$rc" -eq 1 ] && [ "${crashes:-0}" -lt "${CRASH_RETRIES:-2}" ]; then
+    crashes=$(( ${crashes:-0} + 1 ))
+    echo "supervisor: crash retry $crashes/${CRASH_RETRIES:-2}" >> "$LOG"
+    sleep 10
+    continue
+  fi
   exit $rc
 done
 echo "supervisor: attempt cap reached" >> "$LOG"

@@ -152,3 +152,81 @@ def test_decompose_checkpoint_resume(tmp_path):
         assert len(fa) == len(fb)
         for x, y in zip(fa, fb):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_oom_recovery_ladder(tmp_path):
+    """Device-OOM recovery (_grid_eval_oom_safe): round-5 take-2 of the
+    canonical run died rc=1 to a TPU RESOURCE_EXHAUSTED at a marginal leaf
+    that take-1 had passed (HBM-fragmentation flakiness at ~13.5 GB
+    resident). The ladder: in-process gram retry -> persisted marker +
+    HostBudgetExceeded recycle -> forced gram on resume -> fatal at 3."""
+    from asvd4llm_tpu.calib.sensitivity import (
+        _grid_eval_oom_safe, _load_resume)
+
+    res = str(tmp_path / "r.jsonl")
+
+    # 1) one OOM -> in-process retry runs on the gram backend
+    calls = []
+
+    def flaky(fb):
+        calls.append(fb)
+        if len(calls) == 1:
+            raise RuntimeError("TPU backend error (RESOURCE_EXHAUSTED).")
+        return "ok"
+
+    assert _grid_eval_oom_safe(flaky, "leaf.a", res, {}) == "ok"
+    assert calls == [None, "gram"]
+
+    # 2) persistent OOM -> marker persisted + HostBudgetExceeded (rc=42
+    # recycle protocol), NOT the raw error
+    def always(fb):
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    oc = {}
+    with pytest.raises(hostguard.HostBudgetExceeded):
+        _grid_eval_oom_safe(always, "leaf.b", res, oc)
+    assert oc["leaf.b"] == 1
+    state, oom_counts = _load_resume(res)
+    assert state == {}  # markers are not finished leaves
+    assert oom_counts == {"leaf.b": 1}
+
+    # 3) a resumed attempt forces gram from the first call
+    calls2 = []
+
+    def ok(fb):
+        calls2.append(fb)
+        return "ok"
+
+    assert _grid_eval_oom_safe(ok, "leaf.b", res, dict(oom_counts)) == "ok"
+    assert calls2 == ["gram"]
+
+    # 4) third marked OOM is fatal: the real error propagates
+    oc = {"leaf.b": 2}
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        _grid_eval_oom_safe(always, "leaf.b", res, oc)
+
+    # 5) non-OOM errors propagate untouched, no marker
+    def broken(fb):
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        _grid_eval_oom_safe(broken, "leaf.c", res, {})
+    _, oom_counts = _load_resume(res)
+    assert "leaf.c" not in oom_counts
+
+
+def test_resume_skips_seeded_and_marker_records(tmp_path):
+    """Records with "seeded": true are honored as finished leaves (their
+    dt is real measured time from an earlier same-config run); marker
+    records are skipped by the state loader."""
+    from asvd4llm_tpu.calib.sensitivity import _load_resume
+
+    res = str(tmp_path / "r.jsonl")
+    with open(res, "w") as f:
+        f.write(json.dumps({"name": "x", "li": 0, "dt": 1.5,
+                            "ratios": {"0.5": 2.0}, "seeded": True,
+                            "dt_source": "log"}) + "\n")
+        f.write(json.dumps({"name": "y", "oom": 2}) + "\n")
+    state, oom = _load_resume(res)
+    assert state == {"x": (0, 1.5, {0.5: 2.0})}
+    assert oom == {"y": 2}
