@@ -416,6 +416,14 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    try:
+        # a still-running canonical pipeline holds the exclusive chip
+        # claim; stop it cleanly (SIGINT -> partial artifact + on-disk
+        # resume state) before we touch the device
+        from benchmarks.preempt import preempt_canonical
+        preempt_canonical()
+    except Exception:
+        pass
     if not _backend_alive():
         print("backend unreachable after 600s — emitting stale artifact",
               file=sys.stderr)

@@ -165,6 +165,16 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if not ns.cpu:
+        # clean-preemption protocol (benchmarks/preempt.py): bench.py /
+        # entry() SIGINT this pid at round end to reclaim the exclusive
+        # axon chip claim; the partial artifact lands on SIGINT
+        try:
+            from benchmarks.preempt import PIDFILE
+            with open(PIDFILE, "w") as f:
+                f.write(str(os.getpid()))
+        except Exception:
+            pass
 
     layers, n_calib, seqlen = ns.layers, ns.n_calib, ns.seqlen
     H, I, VOCAB = ns.hidden, ns.inter, ns.vocab

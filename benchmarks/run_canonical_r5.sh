@@ -18,7 +18,16 @@ OUT=benchmarks/results/pipeline_bench_r5_full.json
 DEADLINE="${DEADLINE_UTC:-}"
 MAXRSS="${MAX_RSS_GB:-82}"
 
+STOP=benchmarks/results/canonical_r5.STOP
+
 for i in $(seq 1 60); do
+  # clean-preemption sentinel (benchmarks/preempt.py): bench.py/entry()
+  # create it before SIGINTing the pipeline — never relaunch into their
+  # chip claim
+  if [ -e "$STOP" ]; then
+    echo "supervisor: STOP sentinel present, exiting" >> "$LOG"
+    exit 5
+  fi
   echo "supervisor: attempt $i starting $(date -u)" >> "$LOG"
   args=(benchmarks/pipeline_bench.py --layers 32 --n_calib 32 --seqlen 2048
         --host_master --eval_tokens 65536 --reps 1
