@@ -391,6 +391,13 @@ def _fused_2d_q4(x, a4, asc, azs, b4, bsc, bzs, bias, *, tk=512, tn=512,
 # dequant intermediates, so 512 stays the choice; the q4 kernel is bound
 # by the per-group dequant VPU work itself (see DESIGN.md round 3).
 _MAX_TILE = 512
+# q8 re-swept in round 5 AFTER the prepad fix (per-step jnp.pad of the
+# weight codes used to dominate and flatten the cap curve): chained
+# prepadded 7-matmul layer at 7B dims, M=16 — cap512 877.8 us,
+# cap1024 826.0, cap2048 787.2 (q8_sweep_r5.json). Bigger tiles cut the
+# grid-iteration count (fewer scale/zero reload + accumulator spills);
+# the dequant VPU cost that caps q4 at 512 is 4x smaller per byte here.
+_MAX_TILE_Q8 = 2048
 
 
 def q4_tiles(K: int, N: int, col_tile: int = 512):
@@ -490,7 +497,7 @@ def fused_lowrank_apply_q8(x, a8, a_qp, b8, b_qp, bias=None, *,
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     Mp = _round_up(max(M, sub), sub)
     Rp = max(_round_up(R, 128), a8.shape[1], b8.shape[0])
-    cap = tile_cap or _MAX_TILE
+    cap = tile_cap or _MAX_TILE_Q8
     Kp = max(_round_up(K, 128), b8.shape[1])
     Np = max(_round_up(N, 128), a8.shape[0])
     tk = _pick_tile(Kp, cap)
