@@ -63,7 +63,7 @@ class PagedEngine:
     """
 
     def __init__(self, params, spec, *, max_batch: int = 4,
-                 page_size: int = 64, num_pages: int = 128,
+                 page_size: int | None = None, num_pages: int = 128,
                  max_pages_per_seq: int = 8, latent="auto",
                  eos_token_id=None, dtype=jnp.float32,
                  use_pallas: bool | None = None, temperature: float = 0.0,
@@ -77,6 +77,15 @@ class PagedEngine:
         from asvd4llm_tpu.ops.pallas_lowrank import prepad_quantized_leaves
         params = prepad_quantized_leaves(params, spec)
         self.params, self.spec = params, spec
+        if page_size is None:
+            # byte-targeted default (serving/paged.py): pages sized so the
+            # K-page DMA stays long enough to hide the paged kernel's
+            # per-iteration fixed costs at ANY kv-head count
+            from asvd4llm_tpu.serving.paged import default_page_size
+            page_size = default_page_size(spec.num_kv_heads, spec.head_dim,
+                                          jnp.dtype(dtype).itemsize)
+            log.info("auto page_size=%d (kv_heads=%d head_dim=%d)",
+                     page_size, spec.num_kv_heads, spec.head_dim)
         self.page_size = page_size
         self.eos_token_id = eos_token_id
         if latent == "auto" or use_pallas is None:

@@ -47,6 +47,28 @@ def pages_needed(n_tokens: int, page_size: int) -> int:
     return -(-n_tokens // page_size)
 
 
+def default_page_size(kv_heads: int, head_dim: int, itemsize: int = 2, *,
+                      target_bytes: int = 2 << 20, lo: int = 64,
+                      hi: int = 2048) -> int:
+    """Geometry-aware page size: size pages by BYTES, not tokens.
+
+    The paged decode kernel's per-page-iteration fixed costs (grid
+    dispatch, online-softmax VPU work over [H, P], scalar-prefetch table
+    resolution) do not shrink with kv_heads, but the bytes a page carries
+    do (P * KV * hd * itemsize). A token-count default therefore makes
+    GQA overhead-bound: at P=256/hd=128 an MHA32 K-page is 2 MB while a
+    gqa8 page is 512 KB — the measured r4 result (paged gqa8 0.87x flat
+    dense vs MHA 1.17-1.29x, attn_micro_r4c.json) is that 4x amortization
+    loss. Holding the K-page at ~2 MB instead keeps the DMA long enough
+    to hide the fixed costs at every geometry: 256 tokens for MHA32,
+    1024 for gqa8 (hd=128, bf16). Power-of-2, clamped to [lo, hi]."""
+    raw = target_bytes // max(1, kv_heads * head_dim * itemsize)
+    p = lo
+    while p * 2 <= raw and p * 2 <= hi:
+        p *= 2
+    return p
+
+
 def init_paged_pools(params, spec, num_pages: int, page_size: int,
                      dtype=jnp.bfloat16, *, latent=False) -> list:
     """Per-layer page pools; layout mirrors eval.generate.init_caches with
