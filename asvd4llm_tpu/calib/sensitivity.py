@@ -317,13 +317,18 @@ def _load_resume(path):
 
     Lines with ``"oom": N`` and no ``"ratios"`` are device-OOM markers
     (see ``_grid_eval_oom_safe``): the leaf OOMed HBM N times; a resumed
-    attempt forces the low-workspace gram backend for it.
+    attempt forces the low-workspace gram backend for it — and, via the
+    marker's ``"shape"``, for every other leaf of the same [out, in]
+    shape (the flakiness is shape-at-residency physics, not per-leaf;
+    without the generalization a 32-layer scan could pay one process
+    recycle per MLP leaf).
 
-    Returns ``({name: (li, dt, {float: float})}, {name: oom_count})``."""
+    Returns ``({name: (li, dt, {float: float})}, {name: oom_count},
+    {(out, in), ...})``."""
     import json
     import os
 
-    state, oom_counts = {}, {}
+    state, oom_counts, oom_shapes = {}, {}, set()
     if path and os.path.exists(path):
         with open(path) as f:
             for line in f:
@@ -338,11 +343,13 @@ def _load_resume(path):
                     if "oom" in rec:
                         oom_counts[rec["name"]] = max(
                             int(rec["oom"]), oom_counts.get(rec["name"], 0))
+                        if rec.get("shape"):
+                            oom_shapes.add(tuple(rec["shape"]))
                     continue
                 state[rec["name"]] = (
                     rec.get("li", -1), rec.get("dt", 0.0),
                     {float(r): float(p) for r, p in rec["ratios"].items()})
-    return state, oom_counts
+    return state, oom_counts, oom_shapes
 
 
 def _append_resume(path, name, li, dt, ratios):
@@ -355,15 +362,19 @@ def _append_resume(path, name, li, dt, ratios):
         f.flush()
 
 
-def _append_oom(path, name, count):
+def _append_oom(path, name, count, shape=None):
     import json
 
+    rec = {"name": name, "oom": count}
+    if shape is not None:
+        rec["shape"] = list(shape)
     with open(path, "a") as f:
-        f.write(json.dumps({"name": name, "oom": count}) + "\n")
+        f.write(json.dumps(rec) + "\n")
         f.flush()
 
 
-def _grid_eval_oom_safe(call, name, resume, oom_counts):
+def _grid_eval_oom_safe(call, name, resume, oom_counts, shape=None,
+                        oom_shapes=None):
     """Run a leaf's grid eval with device-OOM recovery.
 
     Round-5 take-2 of the canonical full-depth run died to a TPU
@@ -382,8 +393,15 @@ def _grid_eval_oom_safe(call, name, resume, oom_counts):
        the marker forces gram;
     4. three marked OOMs mean the leaf cannot fit even under the best
        conditions — re-raise the real error.
+
+    The marker generalizes by SHAPE: flakiness at the residency margin is
+    [out, in]-shape physics, so once one 11008x4096 leaf has proven the
+    exact backend unsafe, every later same-shape leaf goes straight to
+    gram (``oom_shapes``, persisted in the marker record) — the scan pays
+    at most one recycle per novel shape instead of one per leaf.
     """
-    forced = "gram" if oom_counts.get(name) else None
+    in_oom_shape = oom_shapes is not None and shape in oom_shapes
+    forced = "gram" if (oom_counts.get(name) or in_oom_shape) else None
     try:
         return call(forced)
     except Exception as e:
@@ -391,6 +409,12 @@ def _grid_eval_oom_safe(call, name, resume, oom_counts):
             raise
         log.warning("device HBM OOM at %s (backend=%s) — retrying "
                     "in-process on the gram backend", name, forced or "auto")
+        if shape is not None and oom_shapes is not None:
+            if tuple(shape) not in oom_shapes and resume:
+                # count-0 marker: records the unsafe SHAPE without
+                # counting against the leaf's 3-strike fatal limit
+                _append_oom(resume, name, 0, shape)
+            oom_shapes.add(tuple(shape))
         try:
             return call("gram")
         except Exception as e2:
@@ -399,7 +423,7 @@ def _grid_eval_oom_safe(call, name, resume, oom_counts):
             n_oom = oom_counts.get(name, 0) + 1
             oom_counts[name] = n_oom
             if resume:
-                _append_oom(resume, name, n_oom)
+                _append_oom(resume, name, n_oom, shape)
             if n_oom >= 3:
                 raise
             from asvd4llm_tpu.utils.hostguard import HostBudgetExceeded
@@ -541,7 +565,8 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
     # Per-leaf resume (utils/hostguard.py): a recycled/killed process
     # reloads finished leaves and re-plays only the cheap prefix advances
     # (one dense layer per row block — ~1% of a leaf's grid cost).
-    resume_state, oom_counts = _load_resume(resume) if resume else ({}, {})
+    resume_state, oom_counts, oom_shapes = (
+        _load_resume(resume) if resume else ({}, {}, set()))
     if resume_state:
         expected = [linear_name(spec, li, k)
                     for li in range(len(params["layers"]))
@@ -630,7 +655,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                         _ppl_multi_ratio_suffix(hp, stacked, spec, h, lab, m,
                                                 k, jnp.int32(li), wh)
                         for h, lab, m in zip(h_blocks, l_blocks, m_blocks)))),
-                name, resume, oom_counts)
+                name, resume, oom_counts, leaf_shape(leaf), oom_shapes)
             for ratio in set(grid) - set(valid):
                 sensitivity[name][ratio] = float("inf")
             for j, (ratio, ppl) in enumerate(zip(valid, ppls)):
@@ -695,7 +720,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                                            leaf["b"])
                             for h, lab, m in zip(h_blocks, l_blocks,
                                                  m_blocks)))),
-                    name, resume, oom_counts)
+                    name, resume, oom_counts, leaf_shape(leaf), oom_shapes)
                 for ratio in set(grid) - set(valid):
                     sensitivity[name][ratio] = float("inf")
                 for j, (ratio, ppl) in enumerate(

@@ -186,7 +186,7 @@ def test_oom_recovery_ladder(tmp_path):
     with pytest.raises(hostguard.HostBudgetExceeded):
         _grid_eval_oom_safe(always, "leaf.b", res, oc)
     assert oc["leaf.b"] == 1
-    state, oom_counts = _load_resume(res)
+    state, oom_counts, _shapes = _load_resume(res)
     assert state == {}  # markers are not finished leaves
     assert oom_counts == {"leaf.b": 1}
 
@@ -211,7 +211,7 @@ def test_oom_recovery_ladder(tmp_path):
 
     with pytest.raises(ValueError):
         _grid_eval_oom_safe(broken, "leaf.c", res, {})
-    _, oom_counts = _load_resume(res)
+    _, oom_counts, _shapes = _load_resume(res)
     assert "leaf.c" not in oom_counts
 
 
@@ -227,6 +227,58 @@ def test_resume_skips_seeded_and_marker_records(tmp_path):
                             "ratios": {"0.5": 2.0}, "seeded": True,
                             "dt_source": "log"}) + "\n")
         f.write(json.dumps({"name": "y", "oom": 2}) + "\n")
-    state, oom = _load_resume(res)
+    state, oom, _shapes = _load_resume(res)
     assert state == {"x": (0, 1.5, {0.5: 2.0})}
     assert oom == {"y": 2}
+
+
+def test_oom_shape_generalization(tmp_path):
+    """Once any leaf of a shape OOMs, every later same-shape leaf is
+    forced to the gram backend proactively (one recycle per novel SHAPE,
+    not per leaf), in-process and across resumed attempts."""
+    from asvd4llm_tpu.calib.sensitivity import (
+        _grid_eval_oom_safe, _load_resume)
+
+    res = str(tmp_path / "r.jsonl")
+    shapes = set()
+    calls = []
+
+    def flaky_once(fb):
+        calls.append(fb)
+        if len(calls) == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
+        return "ok"
+
+    # leaf.a (11008x4096) OOMs once, retry succeeds; shape is recorded
+    # with a count-0 marker (doesn't count toward the 3-strike limit)
+    assert _grid_eval_oom_safe(flaky_once, "l0.gate", res, {},
+                               (11008, 4096), shapes) == "ok"
+    assert shapes == {(11008, 4096)}
+    _, oom_counts, oom_shapes = _load_resume(res)
+    assert oom_shapes == {(11008, 4096)}
+    assert not oom_counts.get("l0.gate")  # count-0: not a strike
+
+    # same-shape leaf in the SAME process goes straight to gram
+    calls2 = []
+
+    def ok(fb):
+        calls2.append(fb)
+        return "ok"
+
+    assert _grid_eval_oom_safe(ok, "l1.gate", res, {},
+                               (11008, 4096), shapes) == "ok"
+    assert calls2 == ["gram"]
+
+    # ...and in a RESUMED process (shape loaded from the marker)
+    calls3 = []
+    assert _grid_eval_oom_safe(lambda fb: calls3.append(fb) or "ok",
+                               "l2.gate", res, dict(oom_counts),
+                               (11008, 4096), set(oom_shapes)) == "ok"
+    assert calls3 == ["gram"]
+
+    # a DIFFERENT shape still resolves normally
+    calls4 = []
+    assert _grid_eval_oom_safe(lambda fb: calls4.append(fb) or "ok",
+                               "l1.down", res, {}, (4096, 11008),
+                               set(oom_shapes)) == "ok"
+    assert calls4 == [None]
