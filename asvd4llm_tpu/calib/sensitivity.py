@@ -401,14 +401,19 @@ def _grid_eval_oom_safe(call, name, resume, oom_counts, shape=None,
     at most one recycle per novel shape instead of one per leaf.
     """
     in_oom_shape = oom_shapes is not None and shape in oom_shapes
-    forced = "gram" if (oom_counts.get(name) or in_oom_shape) else None
+    marked = bool(oom_counts.get(name)) or in_oom_shape
+    # marked leaves/shapes get BOTH safety levers from the start: the
+    # low-workspace gram backend AND single-candidate streaming chunks
+    # (the auto backend already resolves to gram at the canonical MLP
+    # shapes, so the chunk shrink is the lever that actually frees HBM)
     try:
-        return call(forced)
+        return call("gram" if marked else None, 4 if marked else 1)
     except Exception as e:
         if "RESOURCE_EXHAUSTED" not in str(e):
             raise
-        log.warning("device HBM OOM at %s (backend=%s) — retrying "
-                    "in-process on the gram backend", name, forced or "auto")
+        log.warning("device HBM OOM at %s (marked=%s) — retrying "
+                    "in-process: gram backend + shrunk chunks",
+                    name, marked)
         if shape is not None and oom_shapes is not None:
             if tuple(shape) not in oom_shapes and resume:
                 # count-0 marker: records the unsafe SHAPE without
@@ -416,7 +421,7 @@ def _grid_eval_oom_safe(call, name, resume, oom_counts, shape=None,
                 _append_oom(resume, name, 0, shape)
             oom_shapes.add(tuple(shape))
         try:
-            return call("gram")
+            return call("gram", 4)
         except Exception as e2:
             if "RESOURCE_EXHAUSTED" not in str(e2):
                 raise
@@ -490,7 +495,7 @@ def _grid_chunk_bytes(C, cand_bytes, resident_bytes, mesh):
 
 
 def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
-                        eval_fn, force_backend=None):
+                        eval_fn, force_backend=None, chunk_shrink=1):
     """Evaluate a leaf's whole ratio grid, streaming dense candidate
     recompositions through HBM in residency-sized chunks.
 
@@ -498,10 +503,12 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
     dp). Otherwise the SVD factors stay resident ((out+in)·max_rank f32)
     and each chunk recomposes, evaluates, and frees — the per-chunk
     np.asarray fetch is the synchronization that bounds live chunks to
-    one. ``force_backend`` overrides the auto SVD-backend resolution
-    (the device-OOM recovery ladder forces "gram", see
-    ``_grid_eval_oom_safe``). Returns (valid_ratios, ppls, finite) as
-    numpy."""
+    one. ``force_backend`` overrides the auto SVD-backend resolution and
+    ``chunk_shrink`` divides the planned chunk width (the device-OOM
+    recovery ladder forces "gram" and shrinks chunks — at MLP shapes a
+    full-width 6-candidate chunk is ~1.1 GB of transient, the entire
+    planned headroom at canonical residency; see ``_grid_eval_oom_safe``).
+    Returns (valid_ratios, ppls, finite) as numpy."""
     out_f, in_f = leaf_shape(leaf)
     ranks = {r: min(rank_for_param_ratio(in_f, out_f, r, cfg.rank_align),
                     in_f, out_f) for r in grid}
@@ -534,6 +541,7 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
     cs = _grid_chunk_bytes(
         len(valid), cand_bytes,
         resident_bytes + u.nbytes + s.nbytes + vh.nbytes, mesh)
+    cs = max(1, cs // max(1, chunk_shrink))
     ppls, fins = [], []
     for i in range(0, len(valid), cs):
         wh, fin = _recompose_chunk(u, s, vh, ranks_tuple[i:i + cs], dtype)
@@ -648,9 +656,9 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                 None if fisher is None else fisher.get(name), cfg.alpha)
             sensitivity[name] = {}
             valid, ppls, finite = _grid_eval_oom_safe(
-                lambda fb: _grid_eval_streamed(
+                lambda fb, shrink: _grid_eval_streamed(
                     leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
-                    force_backend=fb,
+                    force_backend=fb, chunk_shrink=shrink,
                     eval_fn=lambda wh: _blocks_ppl(n, (
                         _ppl_multi_ratio_suffix(hp, stacked, spec, h, lab, m,
                                                 k, jnp.int32(li), wh)
@@ -712,9 +720,9 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             sensitivity[name] = {}
             if name == LM_HEAD_NAME:
                 valid, ppls, finite = _grid_eval_oom_safe(
-                    lambda fb: _grid_eval_streamed(
+                    lambda fb, shrink: _grid_eval_streamed(
                         leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
-                        force_backend=fb,
+                        force_backend=fb, chunk_shrink=shrink,
                         eval_fn=lambda wh: _blocks_ppl(n, (
                             _ppl_head_grid(hp, spec, h, lab, m, wh,
                                            leaf["b"])

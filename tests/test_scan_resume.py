@@ -168,18 +168,18 @@ def test_oom_recovery_ladder(tmp_path):
     # 1) one OOM -> in-process retry runs on the gram backend
     calls = []
 
-    def flaky(fb):
-        calls.append(fb)
+    def flaky(fb, shrink):
+        calls.append((fb, shrink))
         if len(calls) == 1:
             raise RuntimeError("TPU backend error (RESOURCE_EXHAUSTED).")
         return "ok"
 
     assert _grid_eval_oom_safe(flaky, "leaf.a", res, {}) == "ok"
-    assert calls == [None, "gram"]
+    assert calls == [(None, 1), ("gram", 4)]
 
     # 2) persistent OOM -> marker persisted + HostBudgetExceeded (rc=42
     # recycle protocol), NOT the raw error
-    def always(fb):
+    def always(fb, shrink):
         raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
 
     oc = {}
@@ -193,12 +193,12 @@ def test_oom_recovery_ladder(tmp_path):
     # 3) a resumed attempt forces gram from the first call
     calls2 = []
 
-    def ok(fb):
-        calls2.append(fb)
+    def ok(fb, shrink):
+        calls2.append((fb, shrink))
         return "ok"
 
     assert _grid_eval_oom_safe(ok, "leaf.b", res, dict(oom_counts)) == "ok"
-    assert calls2 == ["gram"]
+    assert calls2 == [("gram", 4)]
 
     # 4) third marked OOM is fatal: the real error propagates
     oc = {"leaf.b": 2}
@@ -206,7 +206,7 @@ def test_oom_recovery_ladder(tmp_path):
         _grid_eval_oom_safe(always, "leaf.b", res, oc)
 
     # 5) non-OOM errors propagate untouched, no marker
-    def broken(fb):
+    def broken(fb, shrink):
         raise ValueError("shape mismatch")
 
     with pytest.raises(ValueError):
@@ -243,8 +243,8 @@ def test_oom_shape_generalization(tmp_path):
     shapes = set()
     calls = []
 
-    def flaky_once(fb):
-        calls.append(fb)
+    def flaky_once(fb, shrink):
+        calls.append((fb, shrink))
         if len(calls) == 1:
             raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
         return "ok"
@@ -261,24 +261,26 @@ def test_oom_shape_generalization(tmp_path):
     # same-shape leaf in the SAME process goes straight to gram
     calls2 = []
 
-    def ok(fb):
-        calls2.append(fb)
+    def ok(fb, shrink):
+        calls2.append((fb, shrink))
         return "ok"
 
     assert _grid_eval_oom_safe(ok, "l1.gate", res, {},
                                (11008, 4096), shapes) == "ok"
-    assert calls2 == ["gram"]
+    assert calls2 == [("gram", 4)]
 
     # ...and in a RESUMED process (shape loaded from the marker)
     calls3 = []
-    assert _grid_eval_oom_safe(lambda fb: calls3.append(fb) or "ok",
-                               "l2.gate", res, dict(oom_counts),
-                               (11008, 4096), set(oom_shapes)) == "ok"
-    assert calls3 == ["gram"]
+    assert _grid_eval_oom_safe(
+        lambda fb, shrink: calls3.append((fb, shrink)) or "ok",
+        "l2.gate", res, dict(oom_counts),
+        (11008, 4096), set(oom_shapes)) == "ok"
+    assert calls3 == [("gram", 4)]
 
     # a DIFFERENT shape still resolves normally
     calls4 = []
-    assert _grid_eval_oom_safe(lambda fb: calls4.append(fb) or "ok",
-                               "l1.down", res, {}, (4096, 11008),
-                               set(oom_shapes)) == "ok"
-    assert calls4 == [None]
+    assert _grid_eval_oom_safe(
+        lambda fb, shrink: calls4.append((fb, shrink)) or "ok",
+        "l1.down", res, {}, (4096, 11008),
+        set(oom_shapes)) == "ok"
+    assert calls4 == [(None, 1)]
