@@ -121,6 +121,13 @@ def _grid_factors(w, scale, ranks: tuple, backend: str, key):
     for an 11008x4096 MLP leaf) instead of the len(ranks)·out·in dense
     stack (~540 MB), and each chunk of candidates recomposes and frees
     inside the grid loop."""
+    if backend == "gram":
+        # low-memory form: no f32 matrix copy, no full-width u — the
+        # canonical scan's repeated clean-heap OOMs at 13.05 GB resident
+        # happen INSIDE this program (ops/svd.py gram_truncated_svd_lowmem)
+        from asvd4llm_tpu.ops.svd import gram_truncated_svd_lowmem
+        u, s, vh = gram_truncated_svd_lowmem(w, scale, max(ranks))
+        return u, s, vh / scale[None, :]
     w32 = w.astype(jnp.float32) * scale[None, :]
     from asvd4llm_tpu.ops.svd import truncated_svd
     u, s, vh = truncated_svd(w32, max(ranks), backend=backend, key=key)
@@ -429,7 +436,7 @@ def _grid_eval_oom_safe(call, name, resume, oom_counts, shape=None,
             oom_counts[name] = n_oom
             if resume:
                 _append_oom(resume, name, n_oom, shape)
-            if n_oom >= 3:
+            if n_oom >= 5:
                 raise
             from asvd4llm_tpu.utils.hostguard import HostBudgetExceeded
             raise HostBudgetExceeded(

@@ -55,6 +55,69 @@ def _gram_svd_full(w: jax.Array):
     return vh.T, s, u.T
 
 
+def gram_truncated_svd_lowmem(w: jax.Array, scale: jax.Array, rank: int,
+                              block: int = 1376):
+    """Rank-sliced, row-blocked Gram SVD of ``w * scale[None, :]`` for use
+    INSIDE jitted callers at the full-depth scan's HBM margin.
+
+    Same math as ``_gram_svd_full`` (f32 Gram + eigh), but it never
+    materializes the f32 scaled matrix (180 MB at 11008x4096 — the Gram
+    accumulates over ``block``-row f32 slices, ~22 MB each) nor the
+    full-width u (another 180 MB — the back-multiply uses only the top
+    ``rank`` eigenvectors). The round-5 canonical run OOMed REPEATEDLY
+    inside the grid eval's gram SVD at 13.05 GB resident, clean heap,
+    where the peak-transient difference (~360 MB) is decisive. Blocked
+    f32 summation reassociates adds vs the single-dot path (tiny, ~1e-7
+    relative on the Gram entries); eigh and the truncation are identical.
+
+    Returns ``(u, s, vh)`` of the SCALED matrix, sliced to ``rank``."""
+    m, n = w.shape
+    tall = m >= n
+    k = min(m, n)
+
+    def f32_row(i0, sz):
+        # one [sz, n] f32 slice of w*scale, built on the fly
+        blk = jax.lax.dynamic_slice_in_dim(w, i0, sz, 0).astype(jnp.float32)
+        return blk * scale[None, :]
+
+    c = jnp.zeros((k, k), jnp.float32)
+    if tall:
+        for i0 in range(0, m, block):
+            sz = min(block, m - i0)
+            blk = f32_row(i0, sz)
+            c = c + blk.T @ blk
+    else:
+        # wide: Gram over columns, c = (w s)(w s)^T accumulated in
+        # column blocks
+        for j0 in range(0, n, block):
+            sz = min(block, n - j0)
+            blk = jax.lax.dynamic_slice_in_dim(w, j0, sz, 1).astype(
+                jnp.float32) * scale[j0:j0 + sz][None, :]
+            c = c + blk @ blk.T
+    s2, v = jnp.linalg.eigh(c)                     # ascending
+    s = jnp.sqrt(jnp.maximum(s2[::-1][:rank], 0.0))
+    v_r = v[:, ::-1][:, :rank]                     # [k, rank]
+    inv_s = 1.0 / jnp.maximum(s, 1e-12)
+    if tall:
+        # u = (w s) @ v_r / s, accumulated in row blocks
+        rows = []
+        for i0 in range(0, m, block):
+            sz = min(block, m - i0)
+            rows.append(f32_row(i0, sz) @ v_r)
+        u = jnp.concatenate(rows, axis=0) * inv_s[None, :]
+        return u, s, v_r.T
+    # wide: eigenvectors are the LEFT singular vectors; vh = u^T (w s)/s
+    u = v_r                                        # [m, rank]
+    cols = []
+    for j0 in range(0, n, block):
+        sz = min(block, n - j0)
+        blk = jax.lax.dynamic_slice_in_dim(w, j0, sz, 1).astype(
+            jnp.float32) * scale[j0:j0 + sz][None, :]
+        cols.append(u.T @ blk)
+    vh = jnp.concatenate(cols, axis=1) * inv_s[:, None]
+    return u, s, vh
+
+
 def exact_svd_fits_hbm(m: int, n: int) -> bool:
     """Whether jnp.linalg.svd's workspace for an [m, n] f32 matrix fits
     next to the CURRENTLY LIVE device arrays. All numbers (budget,
