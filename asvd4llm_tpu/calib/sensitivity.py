@@ -421,6 +421,16 @@ def _grid_eval_oom_safe(call, name, resume, oom_counts, shape=None,
         log.warning("device HBM OOM at %s (marked=%s) — retrying "
                     "in-process: gram backend + shrunk chunks",
                     name, marked)
+        try:
+            # residency post-mortem: what exactly is live on device
+            live = sorted(jax.live_arrays(), key=lambda a: -a.nbytes)
+            log.warning("live device arrays: %.2f GB in %d buffers; top: %s",
+                        sum(a.nbytes for a in live) / 2.0 ** 30, len(live),
+                        ", ".join(f"{tuple(a.shape)}/{a.dtype.name}"
+                                  f"={a.nbytes / 2.0 ** 20:.0f}MB"
+                                  for a in live[:8]))
+        except Exception:
+            pass
         if shape is not None and oom_shapes is not None:
             if tuple(shape) not in oom_shapes and resume:
                 # count-0 marker: records the unsafe SHAPE without
