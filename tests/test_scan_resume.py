@@ -200,9 +200,15 @@ def test_oom_recovery_ladder(tmp_path):
     assert _grid_eval_oom_safe(ok, "leaf.b", res, dict(oom_counts)) == "ok"
     assert calls2 == [("gram", 4)]
 
-    # 4) third marked OOM is fatal: the real error propagates
-    oc = {"leaf.b": 2}
+    # 4) fifth marked OOM is fatal: the real error propagates (cap 5 —
+    # strikes 3/4 give the low-memory gram + shrunk-chunk combinations a
+    # clean-heap attempt before the run aborts)
+    oc = {"leaf.b": 4}
     with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        _grid_eval_oom_safe(always, "leaf.b", res, oc)
+    # 4b) strike 3 still recycles rather than aborting
+    oc = {"leaf.b": 2}
+    with pytest.raises(hostguard.HostBudgetExceeded):
         _grid_eval_oom_safe(always, "leaf.b", res, oc)
 
     # 5) non-OOM errors propagate untouched, no marker
