@@ -347,6 +347,19 @@ def _artifact_summary():
             for k, v in d.get("runs", {}).items()}
     except Exception:
         pass
+    # byte-sized-page validation (VERDICT r4 #4): gqa8 paged kernels at
+    # the auto default (1024-token pages ~ 2 MB K-page) vs the old
+    # token-count default
+    for tag, name in (("p1024", "attn_gqa_p1024_r5.json"),
+                      ("p512", "attn_gqa_p512_r5.json")):
+        try:
+            d = _load_first(base, name)
+            out.setdefault("attn_gqa_page_sweep", {})[tag] = {
+                k: {m: v[m] for m in ("paged_dense_vs_dense",
+                                      "paged_lv_vs_dense") if m in v}
+                for k, v in d.get("runs", {}).items()}
+        except Exception:
+            pass
     try:
         d = _load_first(base, "q8_sweep_r5.json")
         out["q8_kernel_sweep"] = {
