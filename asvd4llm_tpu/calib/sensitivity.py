@@ -615,7 +615,11 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                  len(resume_state), resume)
 
     if stacked is None:
+        t_st = time.time()
         stacked = stack_layers(params, spec)
+        jax.block_until_ready(jax.tree.leaves(stacked)[:1])
+        log.info("scan: stacked weights uploaded (%.1fs)",
+                 time.time() - t_st)
     # slim head-params: everything but the per-layer leaves. The jitted
     # evaluators only touch embeddings / norms / head — passing the full
     # params would re-upload host-resident layer masters on EVERY call in
@@ -633,12 +637,17 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
         rows_np = np.concatenate(
             [rows_np, np.zeros((n_pad - n, S), rows_np.dtype)])
     valid_rows = (np.arange(n_pad) < n).astype(np.float32)
+    t_em = time.time()
     h_blocks, l_blocks, m_blocks = [], [], []
     for i in range(0, n_pad, rb):
         blk = jnp.asarray(rows_np[i:i + rb])
         h_blocks.append(_embed_rows(hp, spec, blk))
         l_blocks.append(blk[:, 1:])
         m_blocks.append(jnp.asarray(valid_rows[i:i + rb]))
+    if jax.default_backend() == "tpu":
+        float(h_blocks[-1][0, 0, 0])
+        log.info("scan: %d row blocks embedded (%.1fs)",
+                 len(h_blocks), time.time() - t_em)
 
     def resident_bytes():
         live = ([] if stacked is None else jax.tree.leaves(stacked)) \
@@ -700,6 +709,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                 from asvd4llm_tpu.utils.hostguard import check
                 check(max_rss_gb, name)
         # advance the cached prefix past this (dense) layer
+        t_adv = time.time()
         h_blocks = [_advance_block(hp, stacked, spec, h, jnp.int32(li))
                     for h in h_blocks]
         if jax.default_backend() == "tpu":
@@ -707,6 +717,8 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             # SVD must not dispatch while the advance still runs (the last
             # block syncs all — in-order execution on one device)
             float(h_blocks[-1][0, 0, 0])
+            log.info("scan: prefix advanced past layer %d (%.1fs)",
+                     li, time.time() - t_adv)
 
     if free_stacked and stacked is not None:
         # the extras stage (lm_head grid) never touches the decoder stack,
