@@ -512,7 +512,8 @@ def _grid_chunk_bytes(C, cand_bytes, resident_bytes, mesh):
 
 
 def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
-                        eval_fn, force_backend=None, chunk_shrink=1):
+                        eval_fn, force_backend=None, chunk_shrink=1,
+                        spill_hook=None):
     """Evaluate a leaf's whole ratio grid, streaming dense candidate
     recompositions through HBM in residency-sized chunks.
 
@@ -543,6 +544,13 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
     scale_vec = scale if scale is not None else jnp.ones((in_f,),
                                                          jnp.float32)
     ranks_tuple = tuple(ranks[r] for r in valid)
+    # marked leaves (chunk_shrink > 1): spill the cached prefix hiddens to
+    # host for the duration of the SVD — ~540 MB freed at the exact point
+    # the canonical run's clean-heap OOMs fire; restored (in place, so the
+    # eval closure sees the new buffers) before the chunk loop needs them
+    spilled = chunk_shrink > 1 and spill_hook is not None
+    if spilled:
+        spill_hook[0]()
     u, s, vh = _grid_factors(leaf["w"], scale_vec, ranks_tuple, backend,
                              sub)
     if jax.default_backend() == "tpu":
@@ -553,6 +561,8 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
         # dispatch-execution overlap is what OOMed the full-depth run
         # at <300 MB of planned headroom.
         float(s[0])
+    if spilled:
+        spill_hook[1]()
     dtype = leaf["w"].dtype
     cand_bytes = out_f * in_f * dtype.itemsize
     cs = _grid_chunk_bytes(
@@ -654,6 +664,23 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
             + jax.tree.leaves(hp)
         return sum(x.nbytes for x in live) + sum(h.nbytes for h in h_blocks)
 
+    # OOM-marked leaves' SVDs run with the prefix hiddens spilled to host
+    # (see _grid_eval_streamed spill_hook): idempotent both ways so a
+    # retry after a mid-SVD OOM can spill again safely
+    def _spill_blocks():
+        for j, h in enumerate(h_blocks):
+            if isinstance(h, jax.Array):
+                host = np.asarray(h)
+                h.delete()
+                h_blocks[j] = host
+
+    def _restore_blocks():
+        for j, h in enumerate(h_blocks):
+            if not isinstance(h, jax.Array):
+                h_blocks[j] = jnp.asarray(h)
+
+    _spill = (_spill_blocks, _restore_blocks)
+
     sensitivity: dict = {}
     key = jax.random.PRNGKey(cfg.seed)
     t0 = time.time()
@@ -685,6 +712,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                 lambda fb, shrink: _grid_eval_streamed(
                     leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
                     force_backend=fb, chunk_shrink=shrink,
+                    spill_hook=_spill,
                     eval_fn=lambda wh: _blocks_ppl(n, (
                         _ppl_multi_ratio_suffix(hp, stacked, spec, h, lab, m,
                                                 k, jnp.int32(li), wh)
@@ -752,6 +780,7 @@ def _scan_suffix_sensitivity(params, spec, input_ids, grid, cfg, *,
                     lambda fb, shrink: _grid_eval_streamed(
                         leaf, grid, cfg, scale, sub, mesh, resident_bytes(),
                         force_backend=fb, chunk_shrink=shrink,
+                        spill_hook=_spill,
                         eval_fn=lambda wh: _blocks_ppl(n, (
                             _ppl_head_grid(hp, spec, h, lab, m, wh,
                                            leaf["b"])
