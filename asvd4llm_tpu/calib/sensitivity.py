@@ -412,9 +412,14 @@ def _grid_eval_oom_safe(call, name, resume, oom_counts, shape=None,
     # marked leaves/shapes get BOTH safety levers from the start: the
     # low-workspace gram backend AND single-candidate streaming chunks
     # (the auto backend already resolves to gram at the canonical MLP
-    # shapes, so the chunk shrink is the lever that actually frees HBM)
+    # shapes, so the chunk shrink is the lever that actually frees HBM).
+    # shrink >= 8 additionally moves the gram EIGENDECOMPOSITION to the
+    # host (_grid_eval_streamed -> gram_truncated_svd_host_eigh) — the
+    # last resort once repeated clean-heap recycles prove the on-device
+    # eigh workspace itself does not fit.
+    shrink = 1 if not marked else (8 if oom_counts.get(name, 0) >= 4 else 4)
     try:
-        return call("gram" if marked else None, 4 if marked else 1)
+        return call("gram" if marked else None, shrink)
     except Exception as e:
         if "RESOURCE_EXHAUSTED" not in str(e):
             raise
@@ -551,16 +556,24 @@ def _grid_eval_streamed(leaf, grid, cfg, scale, sub, mesh, resident_bytes,
     spilled = chunk_shrink > 1 and spill_hook is not None
     if spilled:
         spill_hook[0]()
-    u, s, vh = _grid_factors(leaf["w"], scale_vec, ranks_tuple, backend,
-                             sub)
+    if backend == "gram" and chunk_shrink >= 8:
+        # last-resort rung: host eigh (see _grid_eval_oom_safe docstring)
+        from asvd4llm_tpu.ops.svd import gram_truncated_svd_host_eigh
+        u, s, vh = gram_truncated_svd_host_eigh(
+            leaf["w"], scale_vec, max(ranks_tuple))
+        vh = vh / scale_vec[None, :]
+    else:
+        u, s, vh = _grid_factors(leaf["w"], scale_vec, ranks_tuple, backend,
+                                 sub)
     if jax.default_backend() == "tpu":
         # HOST FETCH = the only reliable device sync on the axon backend
         # (block_until_ready does not wait). Buffers allocate at DISPATCH
         # time, so without this the recompose chunk's outputs allocate
         # while the SVD still holds its ~0.5-1 GB workspace — that
         # dispatch-execution overlap is what OOMed the full-depth run
-        # at <300 MB of planned headroom.
-        float(s[0])
+        # at <300 MB of planned headroom. (u, not s: the host-eigh rung
+        # derives s on the host, so only u tracks device progress.)
+        float(u[0, 0])
     if spilled:
         spill_hook[1]()
     dtype = leaf["w"].dtype

@@ -118,6 +118,87 @@ def gram_truncated_svd_lowmem(w: jax.Array, scale: jax.Array, rank: int,
     return u, s, vh
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def _gram_blocked(w: jax.Array, scale: jax.Array, block: int = 1376):
+    """f32 Gram of ``w * scale[None, :]`` accumulated over blocks of the
+    resident (bf16) weight — [min, min] output, never materializing the
+    f32 scaled matrix. Tall: c = (ws)^T (ws); wide: c = (ws)(ws)^T."""
+    m, n = w.shape
+    k = min(m, n)
+    c = jnp.zeros((k, k), jnp.float32)
+    if m >= n:
+        for i0 in range(0, m, block):
+            sz = min(block, m - i0)
+            blk = jax.lax.dynamic_slice_in_dim(w, i0, sz, 0).astype(
+                jnp.float32) * scale[None, :]
+            c = c + blk.T @ blk
+    else:
+        for j0 in range(0, n, block):
+            sz = min(block, n - j0)
+            blk = jax.lax.dynamic_slice_in_dim(w, j0, sz, 1).astype(
+                jnp.float32) * scale[j0:j0 + sz][None, :]
+            c = c + blk @ blk.T
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _blocked_right_mul(w: jax.Array, scale: jax.Array, v_r: jax.Array,
+                       block: int = 1376):
+    """(w * scale) @ v_r over row blocks — [m, rank] f32."""
+    m, _ = w.shape
+    rows = []
+    for i0 in range(0, m, block):
+        sz = min(block, m - i0)
+        blk = jax.lax.dynamic_slice_in_dim(w, i0, sz, 0).astype(
+            jnp.float32) * scale[None, :]
+        rows.append(blk @ v_r)
+    return jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _blocked_left_mul(w: jax.Array, scale: jax.Array, u_r: jax.Array,
+                      block: int = 1376):
+    """u_r^T @ (w * scale) over column blocks — [rank, n] f32."""
+    _, n = w.shape
+    cols = []
+    for j0 in range(0, n, block):
+        sz = min(block, n - j0)
+        blk = jax.lax.dynamic_slice_in_dim(w, j0, sz, 1).astype(
+            jnp.float32) * scale[j0:j0 + sz][None, :]
+        cols.append(u_r.T @ blk)
+    return jnp.concatenate(cols, axis=1)
+
+
+def gram_truncated_svd_host_eigh(w: jax.Array, scale: jax.Array, rank: int,
+                                 block: int = 1376):
+    """LAST-RESORT gram SVD: the eigendecomposition runs on the HOST.
+
+    Round-5 post-mortem (live-buffer dump at the OOM): 13.29 GB of the
+    16 GB chip is the scan's resident working set, and even the
+    low-memory gram form OOMs — jnp.linalg.eigh's QDWH workspace at
+    [4096, 4096] is the last allocation that doesn't fit. This variant
+    keeps only the blocked Gram and the rank-sliced back-multiply on
+    device (~250 MB peak transient at 11008x4096) and fetches the 67 MB
+    Gram to the host for numpy's ssyevd (~20-40 s on this VM's single
+    core) — slow, but it turns a dead 3-hour run into a finished one.
+    Eager only (host fetch inside): callers must NOT be under jit."""
+    import numpy as np
+
+    m, n = w.shape
+    tall = m >= n
+    c = np.asarray(_gram_blocked(w, scale, block=block))
+    s2, v = np.linalg.eigh(c)                       # f32 ssyevd, ascending
+    s_np = np.sqrt(np.clip(s2[::-1][:rank], 0.0, None))
+    v_r = jnp.asarray(np.ascontiguousarray(v[:, ::-1][:, :rank]))
+    s = jnp.asarray(s_np)
+    inv_s = jnp.asarray(1.0 / np.maximum(s_np, 1e-12))
+    if tall:
+        u = _blocked_right_mul(w, scale, v_r, block=block) * inv_s[None, :]
+        return u, s, v_r.T
+    vh = _blocked_left_mul(w, scale, v_r, block=block) * inv_s[:, None]
+    return v_r, s, vh
+
+
 def exact_svd_fits_hbm(m: int, n: int) -> bool:
     """Whether jnp.linalg.svd's workspace for an [m, n] f32 matrix fits
     next to the CURRENTLY LIVE device arrays. All numbers (budget,
