@@ -38,19 +38,13 @@ run() {  # run <artifact> <timeout_s> <cmd...>
 
 R=benchmarks/results
 run "$R/serving_bench_r5.json"      4200 python benchmarks/serving_bench.py --json "$R/serving_bench_r5.json"
-run "$R/attn_gqa_p1024_r5.json"     2400 python benchmarks/attn_micro_bench.py --geos gqa8 --contexts 4096 --page 1024 --json "$R/attn_gqa_p1024_r5.json"
-run "$R/attn_gqa_p512_r5.json"      2400 python benchmarks/attn_micro_bench.py --geos gqa8 --contexts 4096 --page 512 --json "$R/attn_gqa_p512_r5.json"
-run "$R/attn_micro_r5.json"         3600 python benchmarks/attn_micro_bench.py --json "$R/attn_micro_r5.json"
-run "$R/model_decode_bench_r5.json" 3600 python benchmarks/model_decode_bench.py --json "$R/model_decode_bench_r5.json"
-run "$R/kernel_bench_r5.json"       2400 python benchmarks/kernel_bench.py --json "$R/kernel_bench_r5.json"
-echo "queue: all done $(date -u)" >> "$LOG"
-
-# If the canonical pipeline artifact is still partial (the DEADLINE cut
-# search/decompose/eval), relaunch it: with every scan leaf cached in the
-# resume jsonl the relaunch skips the scan entirely and only the cheap
-# post-scan phases run (~45-60 min). Skip when preempted.
-if [ ! -e "$STOP" ] && \
-   ! python - <<'PY'
+finish_canonical() {
+  # With every scan leaf cached in the resume jsonl a relaunch skips the
+  # scan and runs only search/decompose/eval (~45-60 min); with a partial
+  # cache it finishes the remaining leaves first. Unbounded: bench.py's
+  # preemption protocol can always reclaim the chip at round end.
+  if [ -e "$STOP" ]; then return 0; fi
+  if python - <<'PY'
 import json, sys
 try:
     d = json.load(open("benchmarks/results/pipeline_bench_r5_full.json"))
@@ -58,9 +52,22 @@ try:
 except Exception:
     sys.exit(1)
 PY
-then
-  echo "queue: canonical artifact partial — relaunching to finish" >> "$LOG"
+  then return 0; fi
+  echo "queue: canonical artifact partial — relaunching to finish $(date -u)" >> "$LOG"
   MAX_RSS_GB="${MAX_RSS_GB:-100}" DEADLINE_UTC="" CRASH_RETRIES=4 \
     bash benchmarks/run_canonical_r5.sh
   echo "queue: canonical finisher rc=$? $(date -u)" >> "$LOG"
-fi
+}
+
+# priority interleave: top bench first, then complete the canonical
+# artifact, then the remaining benches — whatever the round-end cut hits,
+# the most valuable artifacts are already on disk
+finish_canonical
+run "$R/attn_gqa_p1024_r5.json"     2400 python benchmarks/attn_micro_bench.py --geos gqa8 --contexts 4096 --page 1024 --json "$R/attn_gqa_p1024_r5.json"
+run "$R/attn_gqa_p512_r5.json"      2400 python benchmarks/attn_micro_bench.py --geos gqa8 --contexts 4096 --page 512 --json "$R/attn_gqa_p512_r5.json"
+run "$R/attn_micro_r5.json"         3600 python benchmarks/attn_micro_bench.py --json "$R/attn_micro_r5.json"
+run "$R/model_decode_bench_r5.json" 3600 python benchmarks/model_decode_bench.py --json "$R/model_decode_bench_r5.json"
+run "$R/kernel_bench_r5.json"       2400 python benchmarks/kernel_bench.py --json "$R/kernel_bench_r5.json"
+echo "queue: all done $(date -u)" >> "$LOG"
+
+echo "queue: fully done $(date -u)" >> "$LOG"
