@@ -52,14 +52,36 @@ def malloc_trim() -> None:
         pass
 
 
+# Live budget override: every recycle costs ~25 min on this environment
+# (a 13 GB stack re-upload at tunnel speed plus per-process program
+# loads), so an operator watching a multi-hour run may want to retune the
+# budget without restarting the supervisor. The file is consulted on
+# every check; a fresh attempt (new process) also picks it up.
+BUDGET_OVERRIDE_FILE = "/tmp/asvd_max_rss_gb"
+
+
+def _budget_override() -> float | None:
+    try:
+        with open(BUDGET_OVERRIDE_FILE) as f:
+            return float(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
 def check(max_gb: float | None, where: str = "") -> float:
     """Trim, log, and enforce the host-RSS budget.
 
     Returns current RSS in GiB; raises :class:`HostBudgetExceeded` when a
     budget is set and exceeded. Call this only at points where all state
-    needed to resume has already been persisted.
-    """
+    needed to resume has already been persisted. A float in
+    ``BUDGET_OVERRIDE_FILE`` replaces ``max_gb`` (live retuning of a
+    running scan — but only when a budget was set at all: an override
+    never turns guarding ON for unbudgeted runs)."""
     malloc_trim()
+    if max_gb is not None:
+        ov = _budget_override()
+        if ov is not None:
+            max_gb = ov
     r = rss_gb()
     if max_gb is not None and r > max_gb:
         log.warning("host RSS %.1f GB > budget %.1f GB after %s — "

@@ -29,3 +29,13 @@ def eight_devices():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
     return devs
+
+
+@pytest.fixture(autouse=True)
+def _no_hostguard_override(monkeypatch, tmp_path):
+    """Tests must not see an operator's live RSS-budget override file
+    (utils/hostguard.BUDGET_OVERRIDE_FILE, e.g. left by a canonical run
+    on this machine) — budget assertions would silently invert."""
+    from asvd4llm_tpu.utils import hostguard
+    monkeypatch.setattr(hostguard, "BUDGET_OVERRIDE_FILE",
+                        str(tmp_path / "no-override"))

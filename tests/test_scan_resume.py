@@ -106,11 +106,24 @@ def test_budget_exceeded_after_persist(tmp_path):
     assert out == base
 
 
-def test_hostguard_trim_and_rss():
+def test_hostguard_trim_and_rss(monkeypatch, tmp_path):
+    # isolate from any operator override file on this machine
+    monkeypatch.setattr(hostguard, "BUDGET_OVERRIDE_FILE",
+                        str(tmp_path / "none"))
     r = hostguard.check(None, "test")  # no budget: never raises
     assert r > 0.01  # a live python process has measurable RSS
     with pytest.raises(hostguard.HostBudgetExceeded):
         hostguard.check(0.001, "test")
+
+    # live override: replaces a SET budget, never turns guarding on
+    ov = tmp_path / "ov"
+    ov.write_text("99999")
+    monkeypatch.setattr(hostguard, "BUDGET_OVERRIDE_FILE", str(ov))
+    hostguard.check(0.001, "test")  # raised above; override lifts it
+    ov.write_text("0.001")
+    with pytest.raises(hostguard.HostBudgetExceeded):
+        hostguard.check(99999, "test")
+    assert hostguard.check(None, "test") > 0.01  # None stays unguarded
 
 
 def test_decompose_checkpoint_resume(tmp_path):
